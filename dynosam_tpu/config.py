@@ -1,0 +1,257 @@
+"""Configuration tree for the whole framework.
+
+Replaces the reference's three-layer config (config_utilities YAML +
+gflags + ROS params — SURVEY.md §5) with a single dataclass tree. Field names
+mirror the reference's YAML / flags vocabulary
+(/root/reference/dynosam/params/FrontendParams.yaml, backend.flags) so
+existing parameter files can be loaded with `DynoConfig.from_yaml` and
+experiment overrides applied with `DynoConfig.with_overrides` (the gflags
+analogue).
+
+Shape-determining fields (capacities, window sizes) are static Python ints —
+changing them triggers recompilation, as with any XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, Optional
+
+
+@dataclass
+class RansacParams:
+    # FrontendParams.yaml: camera_motion_solver / object_motion_solver
+    ransac_threshold_pnp: float = 1.0    # pixels of reprojection error
+    ransac_iterations: int = 500         # fixed hypothesis count on TPU
+    ransac_probability: float = 0.995    # kept for parity; iterations are static
+    optimize_pose_from_inliers: bool = True
+    min_inliers: int = 5
+    # 3d-3d (Arun/Kabsch) threshold in meters, used when PnP disabled.
+    ransac_threshold_3d: float = 0.3
+
+
+@dataclass
+class MotionSolverParams:
+    # FrontendParams.yaml top level
+    use_ego_motion_pnp: bool = True
+    use_object_motion_pnp: bool = True
+    refine_camera_pose_with_joint_of: bool = True
+    refine_motion_with_joint_of: bool = True
+    refine_motion_with_3d: bool = False
+    joint_of_k_huber: float = 0.1
+    motion_3d_k_huber: float = 0.01
+    refinement_iterations: int = 8       # fixed GN iterations on TPU
+    camera: RansacParams = field(default_factory=RansacParams)
+    object: RansacParams = field(default_factory=lambda: RansacParams(min_inliers=8))
+
+
+@dataclass
+class TrackerParams:
+    # FrontendParams.yaml: tracker_params (capacities are static shapes)
+    max_features_per_frame: int = 800          # static feature slots
+    min_features_per_frame: int = 200
+    max_feature_track_age: int = 25
+    max_dynamic_features_per_frame: int = 1600 # dynamic slots (all objects)
+    max_dynamic_feature_age: int = 20
+    min_distance_btw_tracked_and_detected_static_features: int = 15
+    min_distance_btw_tracked_and_detected_dynamic_features: int = 2
+    # dynamic keyframing criteria
+    dynamic_feature_age_buffer: int = 3
+    min_dynamic_tracks: int = 20
+    min_dynamic_mask_iou: float = 0.1
+    # frame border shrink for dynamic tracking validity
+    shrink_row: int = 0
+    shrink_col: int = 0
+    prefer_provided_optical_flow: bool = True
+    prefer_provided_object_detection: bool = True
+    # detection grid cell size (GFTT+ANMS analogue: per-cell best corner)
+    detection_cell_size: int = 16
+    min_corner_response: float = 1e-4
+
+
+@dataclass
+class FrontendParams:
+    scene_flow_mag_threshold: float = 0.12
+    scene_flow_dist_threshold: float = 0.5
+    max_background_depth: float = 200.0
+    max_object_depth: float = 30.0
+    min_object_points: int = 8            # objects with fewer tracks are dropped
+    use_propogate_mask: bool = True       # [sic] reference flag spelling
+    tracker: TrackerParams = field(default_factory=TrackerParams)
+    motion_solver: MotionSolverParams = field(default_factory=MotionSolverParams)
+    max_objects: int = 16                 # static per-frame object capacity
+
+
+@dataclass
+class NoiseParams:
+    # backend.flags sigmas (names match the reference flags)
+    constant_object_motion_rotation_sigma: float = 0.01
+    constant_object_motion_translation_sigma: float = 0.2
+    motion_ternary_factor_noise_sigma: float = 0.001
+    odometry_rotation_sigma: float = 0.2
+    odometry_translation_sigma: float = 0.4
+    static_point_noise_sigma: float = 0.01
+    dynamic_point_noise_sigma: float = 0.01
+    static_pixel_noise_sigma: float = 1.0
+    dynamic_pixel_noise_sigma: float = 3.0
+    initial_pose_prior_sigma: float = 1e-4
+    robust_k_huber: float = 1.345
+    use_robust_kernel: bool = True
+
+
+@dataclass
+class OptimizerParams:
+    max_iterations: int = 15
+    lm_initial_lambda: float = 1e-4
+    lm_lambda_factor: float = 10.0
+    lm_min_lambda: float = 1e-9
+    lm_max_lambda: float = 1e6
+    relative_error_tol: float = 1e-6
+    absolute_error_tol: float = 1e-6
+    pcg_iterations: int = 64
+    pcg_tol: float = 1e-8
+    use_pcg: bool = False                 # dense Cholesky by default (small reduced systems)
+
+
+@dataclass
+class BackendParams:
+    # backend.flags
+    optimization_mode: int = 1            # 0 full-batch, 1 sliding-window, 2 incremental
+    backend_updater_enum: int = 0         # 0 WCME (MotionInWorld), 1 WCPE, 3 parallel-hybrid
+    opt_window_size: int = 10
+    opt_window_overlap: int = 4
+    use_vo_factor: bool = True
+    use_smoothing_factor: bool = True
+    min_static_observations: int = 2
+    min_dynamic_observations: int = 3
+    init_H_with_identity: bool = True
+    regular_backend_static_only: bool = False
+    num_dynamic_optimize: int = 0
+    noise: NoiseParams = field(default_factory=NoiseParams)
+    optimizer: OptimizerParams = field(default_factory=OptimizerParams)
+    # Static capacities for device tables.
+    max_frames: int = 16                  # frames held in the active window
+    max_static_landmarks: int = 1024
+    max_dynamic_landmarks: int = 2048
+    max_objects: int = 16
+
+
+@dataclass
+class PipelineParams:
+    parallel_run: bool = True
+    data_provider_prefetch: int = 2
+    frontend_dtype: str = "float32"
+    backend_dtype: str = "float32"
+
+
+@dataclass
+class DynoConfig:
+    frontend: FrontendParams = field(default_factory=FrontendParams)
+    backend: BackendParams = field(default_factory=BackendParams)
+    pipeline: PipelineParams = field(default_factory=PipelineParams)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_yaml(cls, path: str) -> "DynoConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "DynoConfig":
+        return _merge_dataclass(cls(), raw)
+
+    def with_overrides(self, overrides: Dict[str, Any]) -> "DynoConfig":
+        """Apply dotted-path overrides, e.g. {'backend.noise.odometry_rotation_sigma': 0.1}.
+
+        This is the analogue of the reference's `*.flags` gflag override files.
+        Unprefixed flag names are also searched for anywhere in the tree
+        (gflags are globally unique in the reference).
+        """
+        cfg = self
+        for key, value in overrides.items():
+            cfg = _set_dotted(cfg, key, value)
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _merge_dataclass(obj, raw: Dict[str, Any]):
+    updates = {}
+    names = {f.name: f for f in fields(obj)}
+    for key, value in raw.items():
+        if key not in names:
+            continue
+        current = getattr(obj, key)
+        if is_dataclass(current) and isinstance(value, dict):
+            updates[key] = _merge_dataclass(current, value)
+        else:
+            updates[key] = value
+    return dataclasses.replace(obj, **updates)
+
+
+def _find_field_path(obj, name: str, prefix=()) -> Optional[tuple]:
+    for f in fields(obj):
+        if f.name == name:
+            return prefix + (name,)
+        val = getattr(obj, f.name)
+        if is_dataclass(val):
+            found = _find_field_path(val, name, prefix + (f.name,))
+            if found:
+                return found
+    return None
+
+
+def _set_dotted(obj, dotted: str, value):
+    parts = tuple(dotted.split("."))
+    if len(parts) == 1:
+        found = _find_field_path(obj, parts[0])
+        if found is None:
+            raise KeyError(f"Unknown config field: {dotted}")
+        parts = found
+    node_stack = [obj]
+    for p in parts[:-1]:
+        node_stack.append(getattr(node_stack[-1], p))
+    leaf_owner = node_stack[-1]
+    current = getattr(leaf_owner, parts[-1])
+    if current is not None and not is_dataclass(current):
+        value = type(current)(value) if not isinstance(value, type(current)) else value
+    updated = dataclasses.replace(leaf_owner, **{parts[-1]: value})
+    for node, p in zip(reversed(node_stack[:-1]), reversed(parts[:-1])):
+        updated = dataclasses.replace(node, **{p: updated})
+    return updated
+
+
+def load_flags_file(path: str) -> Dict[str, Any]:
+    """Parse a reference-style `.flags` file (--name=value lines) into overrides."""
+    overrides: Dict[str, Any] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("--"):
+                continue
+            body = line[2:]
+            if "=" in body:
+                name, value = body.split("=", 1)
+            else:
+                name, value = body, "true"
+            value = value.strip()
+            if value.lower() in ("true", "false"):
+                parsed: Any = value.lower() == "true"
+            else:
+                try:
+                    parsed = int(value)
+                except ValueError:
+                    try:
+                        parsed = float(value)
+                    except ValueError:
+                        parsed = value
+            overrides[name.strip()] = parsed
+    return overrides
