@@ -1,0 +1,205 @@
+"""Camera ego-motion and per-object motion solvers (batched RANSAC + GN).
+
+TPU-native replacement for the reference's OpenGV-based solvers
+(/root/reference/dynosam/include/dynosam/frontend/vision/MotionSolver.hpp:
+EgoMotionSolver:250, ObjectMotionSovlerF2F:366 and MotionSolver.cc:216-733):
+
+* Hypotheses come from closed-form 3-point Kabsch on RGB-D 3D-3D
+  correspondences (instead of OpenGV's Kneip P3P) — batched via vmap.
+* Scoring uses *pixel reprojection error* with the reference's
+  `ransac_threshold_pnp` semantics, so inlier sets match the 3d-2d PnP
+  behaviour.
+* Refinement is fixed-iteration Huber GN on reprojection residuals, playing
+  the role of both `optimize_3d2d_pose_from_inliers` and the joint
+  optical-flow refinement (OpticalFlowAndPoseOptimizer).
+* Object motion: solve G s.t. obs_k ~ project(G^-1 m_{k-1}^w), then
+  H_w = X_k * G_w with G_w = G^-1 (MotionSolver.cc:698) — here expressed
+  directly as the world-frame motion m_k^w = H m_{k-1}^w.
+* Per-object solves are vmapped over a padded object-slot axis — the
+  reference's per-object loop becomes one batched program.
+
+All functions are shape-static and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dynosam_tpu.config import MotionSolverParams
+from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.ops import gauss_newton, kabsch, ransac
+from dynosam_tpu.utils import lie
+
+
+class MotionSolveResult(NamedTuple):
+    pose: jnp.ndarray         # (4,4) — X_world_cam for ego; H_w for objects
+    inliers: jnp.ndarray      # (N,) bool over the correspondence table
+    num_inliers: jnp.ndarray  # () int32
+    valid: jnp.ndarray        # () bool
+
+
+# ---------------------------------------------------------------------------
+# Ego-motion: world 3D points (from k-1) + pixel observations (at k)
+# ---------------------------------------------------------------------------
+
+def solve_camera_pose(
+    key,
+    pts_world,          # (N, 3) landmarks in world (backprojected at k-1)
+    uv_k,               # (N, 2) observed pixels at frame k
+    pts_cam_k,          # (N, 3) camera-frame 3D at frame k (from depth)
+    valid,              # (N,) bool
+    intr: cam.CameraIntrinsics,
+    params: MotionSolverParams,
+    X_prior,            # (4,4) prior pose (e.g. constant-velocity prediction)
+) -> MotionSolveResult:
+    """Estimate X_world_cam at frame k.
+
+    Falls back to `X_prior` when RANSAC fails (< min_inliers), mirroring the
+    reference's constant-velocity / IMU fallback
+    (RGBDInstanceFrontendModule.cc:324-370).
+    """
+    rp = params.camera
+    data = {"p_w": pts_world, "uv": uv_k, "p_c": pts_cam_k}
+
+    def solve_fn(s):
+        # T maps world -> camera_k; Kabsch on the 3-point minimal set.
+        return kabsch.solve_rigid(s["p_w"], s["p_c"])
+
+    def residual_fn(T_cw, d):
+        uv_pred = cam.project(lie.transform_points(T_cw, d["p_w"]), intr)
+        return jnp.linalg.norm(uv_pred - d["uv"], axis=-1)
+
+    def refit_fn(d, w):
+        return kabsch.solve_rigid(d["p_w"], d["p_c"], w)
+
+    res = ransac.ransac(
+        key,
+        solve_fn,
+        residual_fn,
+        data,
+        valid,
+        num_hypotheses=rp.ransac_iterations,
+        sample_size=3,
+        threshold=rp.ransac_threshold_pnp,
+        min_inliers=rp.min_inliers,
+        refit_fn=refit_fn,
+    )
+
+    T_cw = res.model
+
+    def gn_residual(T):
+        uv_pred = cam.project(lie.transform_points(T, pts_world), intr)
+        return uv_pred - uv_k
+
+    w0 = res.inliers.astype(pts_world.dtype)
+    T_cw, w = gauss_newton.refine_pose(
+        gn_residual,
+        T_cw,
+        w0,
+        iterations=params.refinement_iterations,
+        k_huber=params.joint_of_k_huber * intr.fx,  # huber in pixels
+    )
+
+    X = lie.inverse(T_cw)
+    # Fallback to the prior when the solve is invalid.
+    X = jnp.where(res.valid, X, X_prior)
+    return MotionSolveResult(
+        pose=X, inliers=res.inliers, num_inliers=res.num_inliers, valid=res.valid
+    )
+
+
+# ---------------------------------------------------------------------------
+# Object motions: one padded slot per object, vmapped.
+# ---------------------------------------------------------------------------
+
+def solve_object_motion(
+    key,
+    pts_world_prev,     # (N, 3) object points in world at k-1
+    uv_k,               # (N, 2) observations at k
+    pts_world_k,        # (N, 3) object points in world at k (via X_k + depth)
+    valid,              # (N,) bool — correspondences of THIS object only
+    X_k,                # (4,4) solved camera pose at k
+    intr: cam.CameraIntrinsics,
+    params: MotionSolverParams,
+) -> MotionSolveResult:
+    """World-frame motion H with m_k^w = H m_{k-1}^w for one object."""
+    rp = params.object
+    T_cam_world = lie.inverse(X_k)
+    data = {"p_prev": pts_world_prev, "uv": uv_k, "p_k": pts_world_k}
+
+    def solve_fn(s):
+        return kabsch.solve_rigid(s["p_prev"], s["p_k"])
+
+    def residual_fn(H, d):
+        m_k = lie.transform_points(H, d["p_prev"])
+        uv_pred = cam.project(lie.transform_points(T_cam_world, m_k), intr)
+        return jnp.linalg.norm(uv_pred - d["uv"], axis=-1)
+
+    def refit_fn(d, w):
+        return kabsch.solve_rigid(d["p_prev"], d["p_k"], w)
+
+    res = ransac.ransac(
+        key,
+        solve_fn,
+        residual_fn,
+        data,
+        valid,
+        num_hypotheses=rp.ransac_iterations,
+        sample_size=3,
+        threshold=rp.ransac_threshold_pnp,
+        min_inliers=rp.min_inliers,
+        refit_fn=refit_fn,
+    )
+
+    H = res.model
+
+    def gn_residual(Hx):
+        m_k = lie.transform_points(Hx, pts_world_prev)
+        uv_pred = cam.project(lie.transform_points(T_cam_world, m_k), intr)
+        return uv_pred - uv_k
+
+    H, _ = gauss_newton.refine_pose(
+        gn_residual,
+        H,
+        res.inliers.astype(pts_world_prev.dtype),
+        iterations=params.refinement_iterations,
+        k_huber=params.joint_of_k_huber * intr.fx,
+    )
+    H = jnp.where(res.valid, H, jnp.eye(4, dtype=H.dtype))
+    return MotionSolveResult(
+        pose=H, inliers=res.inliers, num_inliers=res.num_inliers, valid=res.valid
+    )
+
+
+def solve_all_object_motions(
+    key,
+    object_ids,         # (J,) int32 slot -> object id, -1 pad
+    track_object_ids,   # (N,) int32 per-correspondence object id
+    pts_world_prev,     # (N, 3)
+    uv_k,               # (N, 2)
+    pts_world_k,        # (N, 3)
+    track_valid,        # (N,) bool
+    X_k,
+    intr: cam.CameraIntrinsics,
+    params: MotionSolverParams,
+):
+    """vmap of `solve_object_motion` over the padded object-slot axis.
+
+    Replaces the reference's sequential per-object loop
+    (ObjectMotionSovlerF2F::solve) and the ParallelHybrid TBB loop with one
+    batched program: every slot sees the full correspondence table masked to
+    its own object id.
+    """
+    J = object_ids.shape[0]
+    keys = jax.random.split(key, J)
+
+    def per_slot(k_j, oid):
+        valid_j = track_valid & (track_object_ids == oid) & (oid > 0)
+        return solve_object_motion(
+            k_j, pts_world_prev, uv_k, pts_world_k, valid_j, X_k, intr, params
+        )
+
+    return jax.vmap(per_slot)(keys, object_ids)
