@@ -1,0 +1,270 @@
+"""Windowed factor-graph state: fixed-capacity device tables + bookkeeping.
+
+TPU-native replacement for the reference's Map<MEASUREMENT> structure graph +
+Formulation bookkeeping (/root/reference/dynosam_opt/include/dynosam_opt/
+Map.hpp:67, MapNodes.hpp, dynosam/backend/Formulation.hpp:287,
+Formulation-impl.hpp:552-869): instead of pointer-linked Frame/Object/Landmark
+nodes and gtsam::Key hashing, the graph is a set of dense, fixed-capacity
+tables indexed by (frame slot, landmark slot, object slot). Bookkeeping
+(tracklet identity, min-observation gating, new-variable initialisation) is
+branch-free array arithmetic inside jit.
+
+Slot discipline
+---------------
+* Landmark slots are 1:1 with frontend track-table rows: the tracker keeps a
+  tracklet in a fixed row for its lifetime, so a row's tracklet_id changing
+  means the old tracklet died — the slot's observation history is cleared.
+* Frame slots 0..F-1 hold a contiguous window; `advance` rolls the window
+  (sliding-window mode) once full.
+* Object slots are allocated by first appearance and freed when unobserved
+  for the whole window.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from dynosam_tpu.config import BackendParams
+from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.frontend.types import VisionPacket
+from dynosam_tpu.utils import lie
+
+
+@flax.struct.dataclass
+class GraphState:
+    # ---- variables (estimates) -------------------------------------------
+    X: jnp.ndarray           # (F, 4, 4) camera poses, world_from_cam
+    H: jnp.ndarray           # (J, F, 4, 4) world-frame object motions (k-1 -> k)
+    ms: jnp.ndarray          # (Ls, 3) static landmarks, world
+    md: jnp.ndarray          # (Ld, F, 3) dynamic landmark positions per frame
+
+    # ---- structure --------------------------------------------------------
+    frame_ids: jnp.ndarray   # (F,) int32 global frame id per slot, -1 unused
+    num_frames: jnp.ndarray  # () int32 filled frame slots
+    obj_ids: jnp.ndarray     # (J,) int32 object id per slot, -1 unused
+    H_valid: jnp.ndarray     # (J, F) bool — motion variable exists at slot
+    s_tid: jnp.ndarray       # (Ls,) int32 tracklet id per static slot
+    s_z: jnp.ndarray         # (F, Ls, 3) local 3D measurements (camera frame)
+    s_valid: jnp.ndarray     # (F, Ls) bool
+    d_tid: jnp.ndarray       # (Ld,) int32
+    d_obj: jnp.ndarray       # (Ld,) int32 object SLOT index per dyn tracklet, -1 unused
+    d_z: jnp.ndarray         # (Ld, F, 3)
+    d_valid: jnp.ndarray     # (Ld, F) bool
+    odom: jnp.ndarray        # (F, 4, 4) measured T_{k-1,k} (slot f-1 -> f)
+    odom_valid: jnp.ndarray  # (F,) bool
+    X0_prior: jnp.ndarray    # (4, 4) gauge prior on the oldest pose slot
+    # Linear(ised) marginal prior from slid-out frames: 0.5|L(dx) + b|^2 on
+    # the stacked tangent of [poses, motions] (see solver.marginalize).
+    prior_L: jnp.ndarray     # (D, D) sqrt-information (D = 6F + 6JF)
+    prior_b: jnp.ndarray     # (D,)
+    prior_lin_X: jnp.ndarray # (F, 4, 4) linearisation points for the prior
+    prior_lin_H: jnp.ndarray # (J, F, 4, 4)
+    prior_valid: jnp.ndarray # () bool
+
+    # -------------------------------------------------------------------
+    @property
+    def F(self):
+        return self.X.shape[0]
+
+    @property
+    def J(self):
+        return self.H.shape[0]
+
+    @property
+    def Ls(self):
+        return self.ms.shape[0]
+
+    @property
+    def Ld(self):
+        return self.md.shape[0]
+
+    @property
+    def D(self):
+        """Tangent dimension of the reduced (pose+motion) system."""
+        return 6 * self.F + 6 * self.J * self.F
+
+
+def empty_graph(cfg: BackendParams, dtype=jnp.float32) -> GraphState:
+    F, J = cfg.max_frames, cfg.max_objects
+    Ls, Ld = cfg.max_static_landmarks, cfg.max_dynamic_landmarks
+    eye = jnp.eye(4, dtype=dtype)
+    D = 6 * F + 6 * J * F
+    return GraphState(
+        X=jnp.broadcast_to(eye, (F, 4, 4)),
+        H=jnp.broadcast_to(eye, (J, F, 4, 4)),
+        ms=jnp.zeros((Ls, 3), dtype),
+        md=jnp.zeros((Ld, F, 3), dtype),
+        frame_ids=jnp.full((F,), -1, jnp.int32),
+        num_frames=jnp.array(0, jnp.int32),
+        obj_ids=jnp.full((J,), -1, jnp.int32),
+        H_valid=jnp.zeros((J, F), bool),
+        s_tid=jnp.full((Ls,), -1, jnp.int32),
+        s_z=jnp.zeros((F, Ls, 3), dtype),
+        s_valid=jnp.zeros((F, Ls), bool),
+        d_tid=jnp.full((Ld,), -1, jnp.int32),
+        d_obj=jnp.full((Ld,), -1, jnp.int32),
+        d_z=jnp.zeros((Ld, F, 3), dtype),
+        d_valid=jnp.zeros((Ld, F), bool),
+        odom=jnp.broadcast_to(eye, (F, 4, 4)),
+        odom_valid=jnp.zeros((F,), bool),
+        X0_prior=eye,
+        prior_L=jnp.zeros((D, D), dtype),
+        prior_b=jnp.zeros((D,), dtype),
+        prior_lin_X=jnp.broadcast_to(eye, (F, 4, 4)),
+        prior_lin_H=jnp.broadcast_to(eye, (J, F, 4, 4)),
+        prior_valid=jnp.array(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packet ingestion
+# ---------------------------------------------------------------------------
+
+def _match_or_allocate_objects(obj_ids, packet_obj_ids, packet_obj_valid):
+    """Map packet object ids onto graph object slots, allocating new slots.
+
+    Returns (new_obj_ids (J,), packet_slot (Jp,) int32 slot per packet entry).
+    Pure array code: J x Jp comparison matrices.
+    """
+    J = obj_ids.shape[0]
+    present = packet_obj_valid & (packet_obj_ids > 0)
+    # Existing matches.
+    eq = obj_ids[:, None] == packet_obj_ids[None, :]          # (J, Jp)
+    has_match = jnp.any(eq & present[None, :], axis=0)        # (Jp,)
+    match_slot = jnp.argmax(eq, axis=0).astype(jnp.int32)     # (Jp,)
+
+    # Allocate free slots for unmatched packet objects, in order.
+    free = obj_ids < 0                                        # (J,)
+    free_rank = jnp.cumsum(free) - 1                          # (J,) rank of each free slot
+    need = present & ~has_match                               # (Jp,)
+    need_rank = jnp.cumsum(need) - 1                          # (Jp,)
+    # slot for the i-th needed object = index of the i-th free slot
+    # build: free_slot_by_rank[r] = slot index with free_rank == r
+    slot_idx = jnp.arange(J, dtype=jnp.int32)
+    free_slot_by_rank = jnp.full((J,), -1, jnp.int32).at[
+        jnp.where(free, free_rank, J)  # out-of-range writes dropped
+    ].set(slot_idx, mode="drop")
+    alloc_slot = free_slot_by_rank[jnp.clip(need_rank, 0, J - 1)]
+    alloc_ok = need & (alloc_slot >= 0)
+
+    packet_slot = jnp.where(has_match, match_slot, jnp.where(alloc_ok, alloc_slot, -1))
+    packet_slot = jnp.where(present, packet_slot, -1)
+
+    new_obj_ids = obj_ids.at[jnp.where(alloc_ok, alloc_slot, J)].set(
+        packet_obj_ids, mode="drop"
+    )
+    return new_obj_ids, packet_slot.astype(jnp.int32)
+
+
+def update_from_packet(
+    state: GraphState,
+    packet: VisionPacket,
+    intr: cam.CameraIntrinsics,
+    cfg: BackendParams,
+) -> GraphState:
+    """Ingest one frontend packet into the next frame slot (jit-safe).
+
+    Assumes the caller has already made room (slot `state.num_frames` free) —
+    sliding-window advance/marginalisation happens in `solver.advance`.
+    """
+    f = state.num_frames  # slot to fill
+    dtype = state.X.dtype
+
+    # ---- frame & pose initialisation -----------------------------------
+    # Initialise the new pose from the previous optimized pose composed with
+    # measured odometry (better than trusting the frontend's absolute pose
+    # after the window has been optimized); first frame uses the packet pose.
+    X_prev = state.X[jnp.maximum(f - 1, 0)]
+    X_init = jnp.where(
+        f > 0, lie.compose(X_prev, packet.odom_prev_curr), packet.X_world_cam
+    )
+    X = state.X.at[f].set(X_init.astype(dtype))
+    frame_ids = state.frame_ids.at[f].set(packet.frame_id)
+    odom = state.odom.at[f].set(packet.odom_prev_curr.astype(dtype))
+    odom_valid = state.odom_valid.at[f].set((f > 0) & packet.pose_valid)
+    X0_prior = jnp.where(f == 0, packet.X_world_cam.astype(dtype), state.X0_prior)
+
+    # ---- static landmarks ------------------------------------------------
+    st = packet.static_tracks
+    obs_valid = st.valid & (st.depth > 0)
+    z_local = cam.backproject(st.uv, st.depth, intr).astype(dtype)
+    # Slot discipline: same row, new tracklet id -> clear history.
+    changed = st.tracklet_id != state.s_tid
+    s_valid = jnp.where(changed[None, :], False, state.s_valid)
+    s_tid = jnp.where(obs_valid, st.tracklet_id, state.s_tid)
+    s_valid = s_valid.at[f].set(obs_valid)
+    s_z = state.s_z.at[f].set(z_local)
+    # Initialise landmark estimate at first observation (world frame).
+    z_world = lie.transform_points(X_init, z_local)
+    first_obs = obs_valid & (changed | ~jnp.any(state.s_valid, axis=0))
+    ms = jnp.where(first_obs[:, None], z_world, state.ms)
+
+    # ---- objects ----------------------------------------------------------
+    obj_ids, packet_slot = _match_or_allocate_objects(
+        state.obj_ids, packet.object_ids, packet.object_valid
+    )
+    # Motion variable init for this frame per object slot.
+    eyeb = jnp.broadcast_to(jnp.eye(4, dtype=dtype), packet.object_motions.shape)
+    H_pkt = eyeb if cfg.init_H_with_identity else packet.object_motions.astype(dtype)
+    # scatter packet motions into object slots
+    J = state.J
+    H_new_col = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (J, 4, 4))
+    ok = packet_slot >= 0
+    H_new_col = H_new_col.at[jnp.where(ok, packet_slot, J)].set(H_pkt, mode="drop")
+    H = state.H.at[:, f].set(H_new_col)
+
+    # ---- dynamic landmarks -----------------------------------------------
+    dt = packet.dynamic_tracks
+    d_obs_valid = dt.valid & (dt.depth > 0) & (dt.object_id > 0)
+    zd_local = cam.backproject(dt.uv, dt.depth, intr).astype(dtype)
+    d_changed = dt.tracklet_id != state.d_tid
+    d_valid = jnp.where(d_changed[:, None], False, state.d_valid)
+    d_tid = jnp.where(d_obs_valid, dt.tracklet_id, state.d_tid)
+    d_valid = d_valid.at[:, f].set(d_obs_valid)
+    d_z = state.d_z.at[:, f].set(zd_local)
+    # object slot per tracklet: map dt.object_id through obj_ids
+    eq = dt.object_id[:, None] == obj_ids[None, :]            # (Ld, J)
+    d_slot_new = jnp.where(
+        jnp.any(eq, axis=1), jnp.argmax(eq, axis=1).astype(jnp.int32), -1
+    )
+    d_obj = jnp.where(d_obs_valid, d_slot_new, jnp.where(d_changed, -1, state.d_obj))
+    # Initialise dynamic point estimate at every frame from the measurement
+    # (each m_{i,k} is its own variable).
+    zd_world = lie.transform_points(X_init, zd_local)
+    md = state.md.at[:, f].set(zd_world)
+
+    # Motion variable validity: H_{j,f} exists if object j has a tracklet with
+    # valid obs at f-1 and f (ternary factors present).
+    obs_pair = d_valid[:, jnp.maximum(f - 1, 0)] & d_valid[:, f] & (f > 0)
+    pair_per_obj = jax.ops.segment_sum(
+        obs_pair.astype(jnp.int32),
+        jnp.where(d_obj >= 0, d_obj, J),
+        num_segments=J + 1,
+    )[:J]
+    min_pairs = max(cfg.min_dynamic_observations, 1)
+    H_valid = state.H_valid.at[:, f].set(
+        (pair_per_obj >= min_pairs) & (obj_ids >= 0) & (f > 0)
+    )
+
+    return state.replace(
+        X=X,
+        H=H,
+        ms=ms,
+        md=md,
+        frame_ids=frame_ids,
+        num_frames=f + 1,
+        obj_ids=obj_ids,
+        H_valid=H_valid,
+        s_tid=s_tid,
+        s_z=s_z,
+        s_valid=s_valid,
+        d_tid=d_tid,
+        d_obj=d_obj,
+        d_z=d_z,
+        d_valid=d_valid,
+        odom=odom,
+        odom_valid=odom_valid,
+        X0_prior=X0_prior,
+    )

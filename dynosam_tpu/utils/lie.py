@@ -80,33 +80,45 @@ def so3_exp(w):
 def so3_log(R):
     """Log map SO(3) -> so(3). (..., 3, 3) -> (..., 3).
 
-    Numerically robust: handles the theta -> pi region via the diagonal
-    formulation instead of the (singular) skew extraction.
+    Differentiable at the identity (needed: the optimizer autodiffs
+    between-factor residuals whose value is ~0). All branches are sanitised
+    so the non-selected branch never produces NaN tangents: theta comes from
+    atan2 (not arccos, whose derivative blows up at cos=1), and the near-pi
+    diagonal branch divides by inputs replaced with 1 outside its mask.
     """
+    Rt = jnp.swapaxes(R, -1, -2)
+    s = vee(R - Rt) * 0.5                       # sin(theta) * axis
+    s2 = jnp.sum(s * s, axis=-1)                # sin^2(theta)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    theta2 = theta * theta
 
-    # Generic branch: vee((R - R^T)/2) * theta/sin(theta)
-    skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
-    is_small = theta2 < _EPS
-    sin_theta = jnp.sin(theta)
-    near_pi = cos_theta < -1.0 + 1e-5
-    safe_sin = jnp.where(is_small | near_pi, jnp.ones_like(sin_theta), sin_theta)
-    scale = jnp.where(is_small, 1.0 + theta2 / 6.0, theta / safe_sin)
-    w_generic = skew * scale[..., None]
+    small_sin = s2 < _EPS                       # theta near 0 or pi
+    near_pi = small_sin & (cos_theta < 0.0)
+    near_zero = small_sin & (cos_theta >= 0.0)
 
-    # Near-pi branch: w = theta * axis, axis from largest diagonal element.
+    safe_s2 = jnp.where(small_sin, jnp.ones_like(s2), s2)
+    sin_theta = jnp.sqrt(safe_s2)
+    theta = jnp.arctan2(sin_theta, cos_theta)
+
+    # Generic + near-zero: w = k * s with k = theta/sin(theta) (Taylor near 0).
+    k = jnp.where(near_zero, 1.0 + s2 / 6.0, theta / sin_theta)
+    w_generic = s * k[..., None]
+
+    # Near-pi: axis from the diagonal, signs from the skew part.
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_sq = jnp.clip((diag - cos_theta[..., None]) / jnp.clip(1.0 - cos_theta[..., None], 1e-12, None), 0.0, None)
+    denom = jnp.where(near_pi, 1.0 - cos_theta, jnp.ones_like(cos_theta))
+    axis_sq = jnp.clip((diag - cos_theta[..., None]) / denom[..., None], 0.0, None)
+    axis_sq = jnp.where(near_pi[..., None], axis_sq, jnp.ones_like(axis_sq))
     axis = jnp.sqrt(axis_sq)
-    # Fix signs using the off-diagonal skew part (sign of skew components).
-    signs = jnp.sign(jnp.where(jnp.abs(skew) < 1e-12, jnp.ones_like(skew), skew))
+    signs = jnp.sign(jnp.where(jnp.abs(s) < 1e-12, jnp.ones_like(s), s))
     axis = axis * signs
     norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
     axis = axis / jnp.clip(norm, 1e-12, None)
-    w_pi = axis * theta[..., None]
+    # In the near-pi branch sin_theta above was sanitised to 1, so recover the
+    # angle from the true (small) sine: theta = pi - asin(sin).
+    sin_small = jnp.sqrt(s2 + 1e-24)
+    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(sin_small, 0.0, 1.0))
+    w_pi = axis * theta_pi[..., None]
 
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
