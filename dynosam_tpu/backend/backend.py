@@ -1,0 +1,174 @@
+"""Backend module: mode dispatch, jitted step, and state accessors.
+
+Reference parity: /root/reference/dynosam/src/backend/RegularBackendModule.cc
+(FULL_BATCH / SLIDING_WINDOW / INCREMENTAL dispatch, :286-322) and
+backend/Accessor.hpp:55 (canonical state queries). The reference's iSAM2
+incremental mode is replaced by warm-started sliding-window LM with marginal
+priors: cost per frame is bounded by the window like iSAM2's affected-clique
+property, and the warm start plays the role of the Bayes-tree's cached
+solution (SURVEY.md §7 design note — deliverable is accuracy/latency parity,
+not the Bayes tree itself).
+
+Host API (`RegularBackend.step`) is thin: all compute is in two jitted
+programs (`_ingest_and_optimize`, `advance`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynosam_tpu.backend import graph, solver, window
+from dynosam_tpu.backend.graph import GraphState
+from dynosam_tpu.config import BackendParams, OptimizerParams
+from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.frontend.types import VisionPacket
+from dynosam_tpu.utils import lie
+
+
+@dataclass
+class BackendOutput:
+    """Per-frame backend output (BackendOutputPacket analogue), host-side."""
+
+    frame_id: int
+    X_world_cam: np.ndarray              # (4, 4) optimized latest pose
+    object_ids: np.ndarray               # (J,) int32 (-1 pad)
+    object_motions: np.ndarray           # (J, 4, 4) optimized H at latest frame
+    object_motion_valid: np.ndarray      # (J,) bool
+    object_poses: np.ndarray             # (J, 4, 4) propagated object poses
+    static_landmarks: np.ndarray         # (Ls, 3)
+    static_valid: np.ndarray             # (Ls,) bool
+    dynamic_landmarks: np.ndarray        # (Ld, 3) at latest frame
+    dynamic_valid: np.ndarray            # (Ld,) bool
+    dynamic_object_ids: np.ndarray       # (Ld,) int32 object id per landmark
+
+
+class RegularBackend:
+    """Full-batch / sliding-window / incremental dynamic-SLAM backend."""
+
+    def __init__(self, cfg: BackendParams, intr: cam.CameraIntrinsics):
+        self.cfg = cfg
+        self.intr = intr
+        self.state = graph.empty_graph(cfg)
+        # object pose map (reference: propogateObjectPoses / ObjectPoseMap):
+        # object_id -> (4,4) pose, propagated L_k = H_k L_{k-1}.
+        self.object_poses: Dict[int, np.ndarray] = {}
+        self._step_count = 0
+
+        mode_cfg = cfg
+        if cfg.optimization_mode == 2:  # incremental: few warm-started iters
+            import dataclasses
+
+            mode_cfg = dataclasses.replace(
+                cfg, optimizer=dataclasses.replace(cfg.optimizer, max_iterations=3)
+            )
+        self._opt_cfg = mode_cfg
+
+        self._jit_update = jax.jit(
+            lambda st, pkt: graph.update_from_packet(st, pkt, intr, cfg)
+        )
+        self._jit_optimize = jax.jit(
+            lambda st: solver.optimize(st, self._opt_cfg)
+        )
+        self._jit_advance = jax.jit(lambda st: window.advance(st, cfg))
+
+    # ------------------------------------------------------------------
+    def step(self, packet: VisionPacket, optimize: Optional[bool] = None) -> BackendOutput:
+        cfg = self.cfg
+        if int(self.state.num_frames) >= cfg.max_frames:
+            if cfg.optimization_mode == 0:
+                raise RuntimeError(
+                    "FULL_BATCH window capacity exceeded; raise max_frames"
+                )
+            self.state = self._jit_advance(self.state)
+
+        self.state = self._jit_update(self.state, packet)
+
+        if optimize is None:
+            # full-batch defers optimization to `finish` except for pose init;
+            # sliding-window/incremental optimize every frame.
+            optimize = cfg.optimization_mode != 0
+        if optimize:
+            self.state = self._jit_optimize(self.state)
+
+        return self._extract_output(packet)
+
+    def finish(self) -> None:
+        """Full-batch final solve (reference: updateBatch at last frame)."""
+        self.state = self._jit_optimize(self.state)
+
+    # ------------------------------------------------------------------
+    def _extract_output(self, packet: VisionPacket) -> BackendOutput:
+        st = self.state
+        f = int(st.num_frames) - 1
+        X = np.asarray(st.X[f])
+        obj_ids = np.asarray(st.obj_ids)
+        H = np.asarray(st.H[:, f])
+        H_valid = np.asarray(st.H_valid[:, f])
+
+        # propagate object poses: L_k = H_k * L_{k-1}; initialise at first
+        # sight from the object's point centroid (reference
+        # propogateObjectPoses, FrontendModule MotionSolver.cc:580-590).
+        d_obj = np.asarray(st.d_obj)
+        d_valid = np.asarray(st.d_valid[:, f])
+        md = np.asarray(st.md[:, f])
+        obj_poses = np.tile(np.eye(4, dtype=X.dtype), (len(obj_ids), 1, 1))
+        for j, oid in enumerate(obj_ids):
+            oid = int(oid)
+            if oid <= 0:
+                continue
+            if oid in self.object_poses and H_valid[j]:
+                self.object_poses[oid] = H[j] @ self.object_poses[oid]
+            elif oid not in self.object_poses:
+                pts = md[(d_obj == j) & d_valid]
+                centroid = pts.mean(axis=0) if len(pts) else np.zeros(3)
+                L0 = np.eye(4, dtype=X.dtype)
+                L0[:3, 3] = centroid
+                self.object_poses[oid] = L0
+            obj_poses[j] = self.object_poses[oid]
+
+        s_valid = np.asarray(st.s_valid).any(axis=0)
+        d_oid = np.full(st.Ld, -1, np.int32)
+        mask = d_obj >= 0
+        d_oid[mask] = obj_ids[d_obj[mask]]
+
+        return BackendOutput(
+            frame_id=int(packet.frame_id),
+            X_world_cam=X,
+            object_ids=obj_ids,
+            object_motions=H,
+            object_motion_valid=H_valid,
+            object_poses=obj_poses,
+            static_landmarks=np.asarray(st.ms),
+            static_valid=s_valid,
+            dynamic_landmarks=md,
+            dynamic_valid=d_valid,
+            dynamic_object_ids=d_oid,
+        )
+
+    # ------------------------------------------------------------------
+    def pose_at(self, frame_id: int) -> Optional[np.ndarray]:
+        ids = np.asarray(self.state.frame_ids)
+        hits = np.nonzero(ids == frame_id)[0]
+        if len(hits) == 0:
+            return None
+        return np.asarray(self.state.X[int(hits[0])])
+
+    def motion_at(self, frame_id: int, object_id: int) -> Optional[np.ndarray]:
+        ids = np.asarray(self.state.frame_ids)
+        hits = np.nonzero(ids == frame_id)[0]
+        if len(hits) == 0:
+            return None
+        f = int(hits[0])
+        obj_ids = np.asarray(self.state.obj_ids)
+        js = np.nonzero(obj_ids == object_id)[0]
+        if len(js) == 0:
+            return None
+        j = int(js[0])
+        if not bool(self.state.H_valid[j, f]):
+            return None
+        return np.asarray(self.state.H[j, f])

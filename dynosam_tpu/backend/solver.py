@@ -180,8 +180,10 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
         jnp.where(_smooth_mask(state, cfg)[:, :, None], 0.5 * r_sm * r_sm, 0.0)
     )
 
+    # gauge prior: once a marginal prior exists it carries the gauge instead
+    gauge_on = (~state.prior_valid).astype(dtype)
     r_p = factors.prior_residual(state.X[0], state.X0_prior) / sig["prior0"]
-    err += jnp.sum(0.5 * r_p * r_p)
+    err += gauge_on * jnp.sum(0.5 * r_p * r_p)
 
     dx_lin = _prior_dx(state)
     r_mp = state.prior_b + state.prior_L @ dx_lin
@@ -392,9 +394,10 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
         )
 
     # ================= gauge prior on pose 0 =============================
+    # (disabled once a marginal prior carries the gauge)
     r_p = factors.prior_residual(state.X[0], state.X0_prior)
     J_p = factors.prior_jacobian(state.X[0], state.X0_prior)
-    w_p = 1.0 / sig["prior0"] ** 2
+    w_p = (~state.prior_valid).astype(dtype) / sig["prior0"] ** 2
     S = S.at[:6, :6].add(w_p * lie.mm(jnp.swapaxes(J_p, -1, -2), J_p))
     rhs = rhs.at[:6].add(-w_p * (jnp.swapaxes(J_p, -1, -2) @ r_p))
 

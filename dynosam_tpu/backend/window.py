@@ -1,0 +1,284 @@
+"""Sliding-window advance with Schur-complement marginal priors.
+
+TPU-native analogue of the reference's SlidingWindowOptimization
+(/root/reference/dynosam_opt/include/dynosam_opt/SlidingWindowOptimization.hpp:
+43-101: optimize window, marginalize out-of-window keys into prior factors via
+CalculateMarginalFactors / EliminatePreferCholesky) and of the fixed-lag
+behaviour used by ParallelHybrid's static smoother.
+
+When the window is full, `advance`:
+  1. linearises the *departing* factor set — everything that references frame
+     slot 0: PTP observations at slot 0, the ternary factors (0 -> 1), the
+     odometry factor (0, 1), the smoothing factors (H_{j,0}, H_{j,1}), the
+     gauge prior, and the previous marginal prior;
+  2. eliminates the departing variables {X_0, H_{:,0}, m_{:,0}} with a Schur
+     complement, producing a dense prior over the remaining (pose, motion)
+     tangent;
+  3. rolls every frame-indexed table left by one slot and re-indexes the
+     prior to the new layout.
+
+Approximation (documented deviation from GTSAM's exact marginal): dynamic
+points m_{i,1} that the departing ternary factors couple to are treated as
+*fixed* at their current estimates during the marginalisation, so the prior
+keeps the (X_1, H_{:,1}) information block instead of storing point-coupled
+prior terms. This is slightly over-confident for H_{:,1} (whose own ternary
+factors left the window) and is the standard trade made by fixed-lag VIO
+systems that keep priors pose-sized; accuracy impact is measured in
+tests/test_backend.py against full-batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dynosam_tpu.backend import factors
+from dynosam_tpu.backend.graph import GraphState
+from dynosam_tpu.backend.solver import _EPS_REG, _prior_dx, _sigmas
+from dynosam_tpu.config import BackendParams
+from dynosam_tpu.utils import lie
+
+
+def _departing_information(state: GraphState, cfg: BackendParams):
+    """Dense (D, D) Hessian + (D,) gradient of the departing factor set,
+    with departing dynamic points m_{:,0} already Schur-eliminated and the
+    coupled m_{:,1} held fixed (see module docstring)."""
+    F, J, Ld = state.F, state.J, state.Ld
+    D = state.D
+    dtype = state.X.dtype
+    sig = _sigmas(cfg, dtype)
+
+    M = jnp.zeros((D, D), dtype)
+    g = jnp.zeros((D,), dtype)
+
+    # ---- per-tracklet: PTP(X_0, m_0) + ternary(m_0, m_1, H_{j,1}) --------
+    X0 = state.X[0]
+    R0 = lie.rotation(X0)
+    m0 = state.md[:, 0]                                  # (Ld, 3)
+    m1 = state.md[:, 1]
+    z0 = state.d_z[:, 0]
+    has_obj = state.d_obj >= 0
+    w_ptp = (state.d_valid[:, 0] & has_obj).astype(dtype) / (
+        sig["dyn_pt"] ** 2
+    )                                                     # (Ld,)
+
+    j_idx = jnp.clip(state.d_obj, 0, J - 1)
+    H1 = state.H[j_idx, 1]                                # (Ld, 4, 4)
+    # ternary(0,1) active mask mirrors solver._ternary_mask at f=1
+    Hv1 = state.H_valid[j_idx, 1]
+    w_ter = (
+        state.d_valid[:, 0] & state.d_valid[:, 1] & Hv1 & has_obj
+    ).astype(dtype) / (sig["ternary"] ** 2)
+
+    # PTP residual/Jacobians at slot 0
+    y0 = lie.transform_points(lie.inverse(X0), m0)
+    r_ptp = y0 - z0
+    eye3 = jnp.eye(3, dtype=dtype)
+    Jx0 = jnp.concatenate(
+        [lie.hat(y0), -jnp.broadcast_to(eye3, lie.hat(y0).shape)], axis=-1
+    )                                                     # (Ld, 3, 6)
+    Jp_ptp = jnp.swapaxes(R0, -1, -2)                     # (3, 3), same all tracklets
+
+    # ternary residual/Jacobians with m1 fixed
+    r_ter = m1 - lie.transform_points(H1, m0)
+    RH = lie.rotation(H1)
+    Jm0_ter = -RH                                         # (Ld, 3, 3)
+    JH_ter = jnp.concatenate([lie.mm(RH, lie.hat(m0)), -RH], axis=-1)  # (Ld,3,6)
+
+    # per-tracklet elimination of m_0:
+    # Hpp = w_ptp I + w_ter RH^T RH (= w_ter I) + eps
+    hpp = w_ptp + w_ter + _EPS_REG                        # (Ld,) scalar * I
+    inv_hpp = 1.0 / hpp
+    # gradients
+    g_m0 = (
+        w_ptp[:, None] * lie.einsum("ab,lb->la", R0, r_ptp)
+        + w_ter[:, None] * lie.einsum("lba,lb->la", Jm0_ter, r_ter)
+    )
+    # cross blocks (var row, m0 col): X0 from PTP, H1 from ternary
+    C_x0 = w_ptp[:, None, None] * lie.einsum(
+        "lba,bc->lac", Jx0, Jp_ptp
+    )                                                     # (Ld, 6, 3)
+    C_h1 = w_ter[:, None, None] * lie.einsum("lba,lbc->lac", JH_ter, Jm0_ter)
+
+    # direct blocks
+    H_x0x0 = lie.einsum("lba,l,lbc->ac", Jx0, w_ptp, Jx0)           # (6,6)
+    g_x0 = lie.einsum("lba,l,lb->a", Jx0, w_ptp, r_ptp)
+    H_h1h1 = lie.einsum("lba,l,lbc->lac", JH_ter, w_ter, JH_ter)    # (Ld,6,6)
+    g_h1 = lie.einsum("lba,l,lb->la", JH_ter, w_ter, r_ter)
+
+    # Schur corrections after eliminating m0 (Hpp = hpp * I):
+    S_x0x0 = lie.einsum("lab,l,lcb->ac", C_x0, inv_hpp, C_x0)
+    S_x0h1 = lie.einsum("lab,l,lcb->lac", C_x0, inv_hpp, C_h1)      # (Ld,6,6)
+    S_h1h1 = lie.einsum("lab,l,lcb->lac", C_h1, inv_hpp, C_h1)
+    gs_x0 = lie.einsum("lab,l,lb->a", C_x0, inv_hpp, g_m0)
+    gs_h1 = lie.einsum("lab,l,lb->la", C_h1, inv_hpp, g_m0)
+
+    # scatter into dense M over the reduced tangent
+    M = M.at[:6, :6].add(H_x0x0 - S_x0x0)
+    g = g.at[:6].add(g_x0 - gs_x0)
+
+    seg = jnp.where(has_obj, state.d_obj, J)
+    H_h1h1_obj = jax.ops.segment_sum(
+        H_h1h1 - S_h1h1, seg, num_segments=J + 1
+    )[:J]                                                 # (J,6,6)
+    g_h1_obj = jax.ops.segment_sum(g_h1 - gs_h1, seg, num_segments=J + 1)[:J]
+    S_x0h1_obj = jax.ops.segment_sum(S_x0h1, seg, num_segments=J + 1)[:J]
+
+    off0 = 6 * F
+    for j in range(J):
+        o = off0 + 6 * (j * F + 1)                        # H_{j,1} tangent offset
+        M = M.at[o : o + 6, o : o + 6].add(H_h1h1_obj[j])
+        g = g.at[o : o + 6].add(g_h1_obj[j])
+        M = M.at[:6, o : o + 6].add(-S_x0h1_obj[j])
+        M = M.at[o : o + 6, :6].add(-S_x0h1_obj[j].T)
+
+    # ---- odometry(0, 1) ---------------------------------------------------
+    if cfg.use_vo_factor:
+        r_o = factors.between_residual(state.X[0], state.X[1], state.odom[1])
+        J_A, J_B = factors.between_jacobians(state.X[0], state.X[1], state.odom[1])
+        active = (state.odom_valid[1] & (state.num_frames > 1)).astype(dtype)
+        wv = active / sig["odom"] ** 2                    # (6,) per-dim info
+        JAw = jnp.swapaxes(J_A, -1, -2) * wv
+        JBw = jnp.swapaxes(J_B, -1, -2) * wv
+        M = M.at[:6, :6].add(JAw @ J_A)
+        M = M.at[6:12, 6:12].add(JBw @ J_B)
+        M = M.at[:6, 6:12].add(JAw @ J_B)
+        M = M.at[6:12, :6].add((JAw @ J_B).T)
+        g = g.at[:6].add(JAw @ r_o)
+        g = g.at[6:12].add(JBw @ r_o)
+
+    # ---- smoothing (H_{j,0}, H_{j,1}) --------------------------------------
+    if cfg.use_smoothing_factor:
+        sm_mask = (state.H_valid[:, 0] & state.H_valid[:, 1]).astype(dtype)
+        eye4 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (J, 4, 4))
+        r_m = factors.between_residual(state.H[:, 0], state.H[:, 1], eye4)
+        J_Am, J_Bm = factors.between_jacobians(state.H[:, 0], state.H[:, 1], eye4)
+        w_sm = sm_mask[:, None] / sig["smooth"] ** 2      # (J, 6)
+        JAw = jnp.swapaxes(J_Am, -1, -2) * w_sm[:, None, :]
+        JBw = jnp.swapaxes(J_Bm, -1, -2) * w_sm[:, None, :]
+        for j in range(J):
+            oa = off0 + 6 * (j * F + 0)
+            ob = off0 + 6 * (j * F + 1)
+            M = M.at[oa : oa + 6, oa : oa + 6].add(JAw[j] @ J_Am[j])
+            M = M.at[ob : ob + 6, ob : ob + 6].add(JBw[j] @ J_Bm[j])
+            M = M.at[oa : oa + 6, ob : ob + 6].add(JAw[j] @ J_Bm[j])
+            M = M.at[ob : ob + 6, oa : oa + 6].add((JAw[j] @ J_Bm[j]).T)
+            g = g.at[oa : oa + 6].add(JAw[j] @ r_m[j])
+            g = g.at[ob : ob + 6].add(JBw[j] @ r_m[j])
+
+    # ---- gauge prior on X_0 (active only before the first marginalisation)
+    gauge_on = (~state.prior_valid).astype(dtype)
+    r_p = factors.prior_residual(state.X[0], state.X0_prior)
+    J_p = factors.prior_jacobian(state.X[0], state.X0_prior)
+    w_p = gauge_on / sig["prior0"] ** 2
+    M = M.at[:6, :6].add(w_p * (jnp.swapaxes(J_p, -1, -2) @ J_p))
+    g = g.at[:6].add(w_p * (jnp.swapaxes(J_p, -1, -2) @ r_p))
+
+    # ---- previous marginal prior -------------------------------------------
+    dx_lin = _prior_dx(state)
+    r_mp = state.prior_b + state.prior_L @ dx_lin
+    pv = state.prior_valid.astype(dtype)
+    M = M + pv * lie.mm(state.prior_L.T, state.prior_L)
+    g = g + pv * (state.prior_L.T @ r_mp)
+
+    return M, g
+
+
+def _departing_indices(F: int, J: int):
+    """Tangent indices of {X_0, H_{:,0}} in the old layout."""
+    idx = [jnp.arange(6)]
+    off0 = 6 * F
+    for j in range(J):
+        o = off0 + 6 * (j * F)
+        idx.append(jnp.arange(o, o + 6))
+    return jnp.concatenate(idx)
+
+
+def _remaining_old_for_new(F: int, J: int):
+    """old tangent index feeding each new tangent index; -1 for fresh slots."""
+    out = -jnp.ones((6 * F + 6 * J * F,), jnp.int32)
+    # poses: new f <- old f+1 for f < F-1
+    for f in range(F - 1):
+        out = out.at[6 * f : 6 * f + 6].set(jnp.arange(6 * (f + 1), 6 * (f + 1) + 6))
+    off0 = 6 * F
+    for j in range(J):
+        for f in range(F - 1):
+            new_o = off0 + 6 * (j * F + f)
+            old_o = off0 + 6 * (j * F + f + 1)
+            out = out.at[new_o : new_o + 6].set(jnp.arange(old_o, old_o + 6))
+    return out
+
+
+def advance(state: GraphState, cfg: BackendParams) -> GraphState:
+    """Marginalise frame slot 0 and roll the window left by one. Jittable."""
+    F, J = state.F, state.J
+    D = state.D
+    dtype = state.X.dtype
+
+    # ---- marginal prior ----------------------------------------------------
+    M, g = _departing_information(state, cfg)
+    dep = _departing_indices(F, J)                        # (6 + 6J,)
+    keep_mask = jnp.ones((D,), bool).at[dep].set(False)
+    keep = jnp.where(keep_mask, size=D - dep.shape[0])[0]
+
+    M_dd = M[dep][:, dep] + _EPS_REG * jnp.eye(dep.shape[0], dtype=dtype)
+    M_dr = M[dep][:, keep]
+    M_rr = M[keep][:, keep]
+    g_d = g[dep]
+    g_r = g[keep]
+
+    L_dd = jnp.linalg.cholesky(M_dd)
+    sol = jax.scipy.linalg.cho_solve((L_dd, True), jnp.concatenate([M_dr, g_d[:, None]], axis=1))
+    Minv_Mdr, Minv_gd = sol[:, :-1], sol[:, -1]
+    H_marg_keep = M_rr - M_dr.T @ Minv_Mdr
+    g_marg_keep = g_r - M_dr.T @ Minv_gd
+
+    # re-embed into full old layout, then permute to the new layout
+    H_marg = jnp.zeros((D, D), dtype).at[jnp.ix_(keep, keep)].set(H_marg_keep)
+    g_marg = jnp.zeros((D,), dtype).at[keep].set(g_marg_keep)
+
+    old_of_new = _remaining_old_for_new(F, J)             # (D,)
+    sel = jnp.clip(old_of_new, 0, D - 1)
+    valid_new = (old_of_new >= 0).astype(dtype)
+    H_new = H_marg[jnp.ix_(sel, sel)] * valid_new[:, None] * valid_new[None, :]
+    g_new = g_marg[sel] * valid_new
+
+    # sqrt form: prior cost 0.5 |L dx + b|^2 with L^T L = H, L^T b = g
+    H_new = H_new + 1e-8 * jnp.eye(D, dtype=dtype)
+    L_low = jnp.linalg.cholesky(H_new)
+    b = jax.scipy.linalg.solve_triangular(L_low, g_new, lower=True)
+    prior_L = L_low.T
+
+    # ---- roll all frame-indexed tables -------------------------------------
+    def roll0(x):  # frame axis 0
+        return jnp.concatenate([x[1:], x[:1] * 0], axis=0)
+
+    def roll1(x):  # frame axis 1
+        return jnp.concatenate([x[:, 1:], x[:, :1] * 0], axis=1)
+
+    X = jnp.concatenate([state.X[1:], state.X[-1:]], axis=0)
+    H = jnp.concatenate([state.H[:, 1:], state.H[:, -1:]], axis=1)
+    md = jnp.concatenate([state.md[:, 1:], state.md[:, -1:] * 0], axis=1)
+
+    new_state = state.replace(
+        X=X,
+        H=H,
+        md=md,
+        frame_ids=jnp.concatenate(
+            [state.frame_ids[1:], jnp.full((1,), -1, jnp.int32)]
+        ),
+        num_frames=state.num_frames - 1,
+        H_valid=roll1(state.H_valid),
+        s_z=roll0(state.s_z),
+        s_valid=roll0(state.s_valid),
+        d_z=roll1(state.d_z),
+        d_valid=roll1(state.d_valid),
+        odom=jnp.concatenate([state.odom[1:], state.odom[-1:]], axis=0),
+        odom_valid=roll0(state.odom_valid),
+        prior_L=prior_L,
+        prior_b=b,
+        prior_lin_X=X,
+        prior_lin_H=H,
+        prior_valid=jnp.array(True),
+    )
+    return new_state

@@ -1,0 +1,158 @@
+"""RGB-D instance frontend: one jitted step per frame.
+
+TPU-native rebuild of RGBDInstanceFrontendModule
+(/root/reference/dynosam/src/frontend/RGBDInstanceFrontendModule.cc:124-285
+`nominalSpin`): track -> depth update -> camera PnP (+constant-velocity
+fallback) -> refinement -> per-object motion solve -> output packet. The
+whole per-frame pipeline is a single pure function
+  (FrontendState, FrameInputs) -> (FrontendState, VisionPacket)
+compiled once; the reference's Bootstrap/Nominal state machine collapses into
+a traced `first_frame` predicate.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from dynosam_tpu.config import FrontendParams
+from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.frontend import motion
+from dynosam_tpu.frontend.tracker import TrackerState, empty_tracker_state, track_frame
+from dynosam_tpu.frontend.types import FrameInputs, TrackTable, VisionPacket
+from dynosam_tpu.utils import lie
+
+
+@flax.struct.dataclass
+class FrontendState:
+    tracker: TrackerState
+    X_prev: jnp.ndarray        # (4, 4) pose at k-1
+    X_prev_prev: jnp.ndarray   # (4, 4) pose at k-2 (constant-velocity prior)
+    frame_idx: jnp.ndarray     # () int32
+    key: jax.Array
+
+
+def empty_frontend_state(params: FrontendParams, key=None, dtype=jnp.float32):
+    return FrontendState(
+        tracker=empty_tracker_state(params, dtype),
+        X_prev=jnp.eye(4, dtype=dtype),
+        X_prev_prev=jnp.eye(4, dtype=dtype),
+        frame_idx=jnp.array(0, jnp.int32),
+        key=key if key is not None else jax.random.PRNGKey(0),
+    )
+
+
+def _to_gray(rgb):
+    if rgb.ndim == 2:
+        return rgb.astype(jnp.float32)
+    r = rgb[..., 0].astype(jnp.float32)
+    g = rgb[..., 1].astype(jnp.float32)
+    b = rgb[..., 2].astype(jnp.float32)
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def frontend_step(
+    state: FrontendState,
+    inputs: FrameInputs,
+    intr: cam.CameraIntrinsics,
+    params: FrontendParams,
+):
+    """Process one frame. Jittable; all shapes static."""
+    first = state.frame_idx == 0
+    old = state.tracker
+    gray = _to_gray(inputs.rgb)
+    tracker = track_frame(
+        old,
+        gray,
+        inputs.depth,
+        inputs.flow,
+        inputs.mask,
+        params,
+        first_frame=first,
+    )
+
+    key, k_cam, k_obj = jax.random.split(state.key, 3)
+
+    # ---- camera ego-motion ------------------------------------------------
+    # correspondence: same slot, same tracklet, valid at both frames
+    s_match = (
+        old.s_valid & tracker.s_valid & (old.s_tid == tracker.s_tid) & (~first)
+    )
+    pts_cam_prev = cam.backproject(old.s_uv, old.s_depth, intr)
+    pts_world_prev = lie.transform_points(state.X_prev, pts_cam_prev)
+    pts_cam_k = cam.backproject(tracker.s_uv, tracker.s_depth, intr)
+
+    # constant-velocity prior (RGBDInstanceFrontendModule.cc:334-347 fallback)
+    vel = lie.compose(lie.inverse(state.X_prev_prev), state.X_prev)
+    X_prior = lie.compose(state.X_prev, vel)
+
+    cam_res = motion.solve_camera_pose(
+        k_cam,
+        pts_world_prev,
+        tracker.s_uv,
+        pts_cam_k,
+        s_match,
+        intr,
+        params.motion_solver,
+        X_prior,
+    )
+    X_k = jnp.where(first, jnp.eye(4, dtype=state.X_prev.dtype), cam_res.pose)
+
+    # ---- object motions -----------------------------------------------------
+    d_match = (
+        old.d_valid & tracker.d_valid & (old.d_tid == tracker.d_tid) & (~first)
+    )
+    pts_cam_prev_d = cam.backproject(old.d_uv, old.d_depth, intr)
+    pts_world_prev_d = lie.transform_points(state.X_prev, pts_cam_prev_d)
+    pts_cam_k_d = cam.backproject(tracker.d_uv, tracker.d_depth, intr)
+    pts_world_k_d = lie.transform_points(X_k, pts_cam_k_d)
+
+    obj_res = motion.solve_all_object_motions(
+        k_obj,
+        tracker.obj_ids,
+        tracker.d_oid,
+        pts_world_prev_d,
+        tracker.d_uv,
+        pts_world_k_d,
+        d_match,
+        X_k,
+        intr,
+        params.motion_solver,
+    )
+
+    # ---- packet --------------------------------------------------------------
+    packet = VisionPacket(
+        frame_id=inputs.frame_id,
+        X_world_cam=X_k,
+        odom_prev_curr=lie.compose(lie.inverse(state.X_prev), X_k),
+        static_tracks=TrackTable(
+            uv=tracker.s_uv,
+            depth=tracker.s_depth,
+            tracklet_id=tracker.s_tid,
+            object_id=jnp.zeros_like(tracker.s_tid),
+            age=tracker.s_age,
+            valid=tracker.s_valid,
+        ),
+        dynamic_tracks=TrackTable(
+            uv=tracker.d_uv,
+            depth=tracker.d_depth,
+            tracklet_id=tracker.d_tid,
+            object_id=tracker.d_oid,
+            age=tracker.d_age,
+            valid=tracker.d_valid,
+        ),
+        object_ids=tracker.obj_ids,
+        object_motions=obj_res.pose,
+        object_valid=obj_res.valid & (tracker.obj_ids > 0),
+        pose_valid=cam_res.valid | first,
+    )
+
+    new_state = FrontendState(
+        tracker=tracker,
+        X_prev=X_k,
+        X_prev_prev=jnp.where(first, X_k, state.X_prev),
+        frame_idx=state.frame_idx + 1,
+        key=key,
+    )
+    return new_state, packet

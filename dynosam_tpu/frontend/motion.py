@@ -129,14 +129,29 @@ def solve_object_motion(
     rp = params.object
     T_cam_world = lie.inverse(X_k)
     data = {"p_prev": pts_world_prev, "uv": uv_k, "p_k": pts_world_k}
+    z_k = lie.transform_points(T_cam_world, pts_world_k)[..., 2]
 
     def solve_fn(s):
         return kabsch.solve_rigid(s["p_prev"], s["p_k"])
 
+    def _uv_z_residual(H, p_prev, uv_obs, z_obs):
+        """Reprojection + disparity-scaled depth residual (pixels).
+
+        The depth term (a virtual-stereo disparity residual, RGBDCamera-style)
+        breaks the classic planar-PnP two-lobe ambiguity that pure
+        reprojection scoring suffers on near-planar objects.
+        """
+        m_c = lie.transform_points(T_cam_world, lie.transform_points(H, p_prev))
+        uv_pred = cam.project(m_c, intr)
+        z_pred = m_c[..., 2]
+        # pixel-equivalent depth residual: fx * dz / z is the lateral pixel
+        # displacement a depth error of dz produces at range z
+        dz = (z_pred - z_obs) * intr.fx / jnp.clip(z_obs, 1e-3, None)
+        return jnp.concatenate([uv_pred - uv_obs, dz[..., None]], axis=-1)
+
     def residual_fn(H, d):
-        m_k = lie.transform_points(H, d["p_prev"])
-        uv_pred = cam.project(lie.transform_points(T_cam_world, m_k), intr)
-        return jnp.linalg.norm(uv_pred - d["uv"], axis=-1)
+        zk = lie.transform_points(T_cam_world, d["p_k"])[..., 2]
+        return jnp.linalg.norm(_uv_z_residual(H, d["p_prev"], d["uv"], zk), axis=-1)
 
     def refit_fn(d, w):
         return kabsch.solve_rigid(d["p_prev"], d["p_k"], w)
@@ -157,9 +172,7 @@ def solve_object_motion(
     H = res.model
 
     def gn_residual(Hx):
-        m_k = lie.transform_points(Hx, pts_world_prev)
-        uv_pred = cam.project(lie.transform_points(T_cam_world, m_k), intr)
-        return uv_pred - uv_k
+        return _uv_z_residual(Hx, pts_world_prev, uv_k, z_k)
 
     H, _ = gauss_newton.refine_pose(
         gn_residual,

@@ -1,0 +1,314 @@
+"""Dense-flow feature tracker over fixed-capacity track tables.
+
+TPU-native rebuild of the reference's FeatureTracker
+(/root/reference/dynosam/src/frontend/vision/FeatureTracker.cc): the
+per-feature loops (`trackDynamic`:339-498 flow lookup + label consistency +
+age recycling, static tracking, `sampleDynamic`:864, detection via
+GFTT+ANMS into an occupancy grid) become batched gathers, a dense Shi-Tomasi
+response, and per-grid-cell reductions — one jitted program per frame. The
+reference's two tracking threads (FeatureTracker.cc:145-149) are unnecessary:
+static and dynamic tracking are independent ops XLA schedules together.
+
+Inputs follow the provided-flow / provided-mask mode
+(prefer_provided_optical_flow / prefer_provided_object_detection), the
+configuration used for all reference benchmarks (README.md:309).
+
+Conventions: flow is defined on frame k-1 pixels mapping to frame k
+(uv_k = uv_{k-1} + flow[uv_{k-1}]); mask label 0 = background; images are
+(H, W[, C]) arrays with static shapes.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from dynosam_tpu.config import FrontendParams
+from dynosam_tpu.ops import interp
+
+
+@flax.struct.dataclass
+class TrackerState:
+    # static features
+    s_uv: jnp.ndarray        # (Ns, 2)
+    s_depth: jnp.ndarray     # (Ns,)
+    s_tid: jnp.ndarray       # (Ns,) int32, -1 = free slot
+    s_age: jnp.ndarray       # (Ns,) int32
+    s_valid: jnp.ndarray     # (Ns,) bool
+    # dynamic features
+    d_uv: jnp.ndarray        # (Nd, 2)
+    d_depth: jnp.ndarray     # (Nd,)
+    d_tid: jnp.ndarray       # (Nd,) int32
+    d_oid: jnp.ndarray       # (Nd,) int32 object label from the mask
+    d_age: jnp.ndarray       # (Nd,) int32
+    d_valid: jnp.ndarray     # (Nd,) bool
+    # object slots (stable across frames, like ByteTrack ids)
+    obj_ids: jnp.ndarray     # (J,) int32, -1 free
+    next_tid: jnp.ndarray    # () int32 tracklet id counter
+
+
+def empty_tracker_state(params: FrontendParams, dtype=jnp.float32) -> TrackerState:
+    ns = params.tracker.max_features_per_frame
+    nd = params.tracker.max_dynamic_features_per_frame
+    j = params.max_objects
+    return TrackerState(
+        s_uv=jnp.zeros((ns, 2), dtype),
+        s_depth=jnp.zeros((ns,), dtype),
+        s_tid=jnp.full((ns,), -1, jnp.int32),
+        s_age=jnp.zeros((ns,), jnp.int32),
+        s_valid=jnp.zeros((ns,), bool),
+        d_uv=jnp.zeros((nd, 2), dtype),
+        d_depth=jnp.zeros((nd,), dtype),
+        d_tid=jnp.full((nd,), -1, jnp.int32),
+        d_oid=jnp.zeros((nd,), jnp.int32),
+        d_age=jnp.zeros((nd,), jnp.int32),
+        d_valid=jnp.zeros((nd,), bool),
+        obj_ids=jnp.full((j,), -1, jnp.int32),
+        next_tid=jnp.array(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Detection primitives
+# ---------------------------------------------------------------------------
+
+def shi_tomasi_response(gray):
+    """Min-eigenvalue corner response (GFTT analogue), (H, W) -> (H, W)."""
+    gx, gy = interp.image_gradients(gray)
+    ixx, iyy, ixy = gx * gx, gy * gy, gx * gy
+
+    def box3(img):
+        k = jnp.ones((3, 3), img.dtype)
+        return jax.lax.conv_general_dilated(
+            img[None, None], k[None, None], (1, 1), "SAME"
+        )[0, 0]
+
+    sxx, syy, sxy = box3(ixx), box3(iyy), box3(ixy)
+    tr = 0.5 * (sxx + syy)
+    det = jnp.sqrt(jnp.clip((0.5 * (sxx - syy)) ** 2 + sxy * sxy, 0.0, None))
+    return tr - det
+
+
+def _cell_reduce(score, cell):
+    """Per-cell max + argmax pixel coords. score: (H, W) -> per-cell arrays
+    of shape (H//cell * W//cell,): best score, u, v."""
+    H, W = score.shape
+    gh, gw = H // cell, W // cell
+    s = score[: gh * cell, : gw * cell].reshape(gh, cell, gw, cell)
+    s = s.transpose(0, 2, 1, 3).reshape(gh, gw, cell * cell)
+    best = jnp.max(s, axis=-1)
+    arg = jnp.argmax(s, axis=-1)
+    dy, dx = arg // cell, arg % cell
+    vs = jnp.arange(gh)[:, None] * cell + dy
+    us = jnp.arange(gw)[None, :] * cell + dx
+    return best.reshape(-1), us.reshape(-1).astype(score.dtype), vs.reshape(-1).astype(score.dtype)
+
+
+def _occupancy(uv, valid, cell, gh, gw):
+    """Mark grid cells containing valid features. -> (gh*gw,) bool."""
+    ui = jnp.clip((uv[:, 0] // cell).astype(jnp.int32), 0, gw - 1)
+    vi = jnp.clip((uv[:, 1] // cell).astype(jnp.int32), 0, gh - 1)
+    flat = vi * gw + ui
+    occ = jnp.zeros((gh * gw,), bool)
+    return occ.at[jnp.where(valid, flat, gh * gw)].set(True, mode="drop")
+
+
+def _fill_free_slots(slot_tid, slot_valid, cand_score, cand_ok, max_new):
+    """Assign top candidates to free slots.
+
+    Returns (assign_cand_idx (Nslots,) int32 candidate index per slot or -1).
+    Free slots are filled in order with candidates ranked by score.
+    """
+    n_slots = slot_tid.shape[0]
+    score = jnp.where(cand_ok, cand_score, -jnp.inf)
+    order = jnp.argsort(-score)                       # best first
+    n_cand = order.shape[0]
+    cand_rank_ok = jnp.arange(n_cand) < jnp.minimum(jnp.sum(cand_ok), max_new)
+
+    free = ~slot_valid
+    free_rank = jnp.cumsum(free) - 1                  # rank of each free slot
+    # slot s (free rank r) takes candidate order[r] if r < num assignable
+    take = jnp.where(free, free_rank, n_cand)
+    take_ok = free & (free_rank < jnp.sum(cand_rank_ok))
+    cand_idx = order[jnp.clip(take, 0, n_cand - 1)]
+    return jnp.where(take_ok, cand_idx, -1)
+
+
+# ---------------------------------------------------------------------------
+# Main per-frame step
+# ---------------------------------------------------------------------------
+
+def track_frame(
+    state: TrackerState,
+    gray,                 # (H, W) float grayscale of frame k
+    depth,                # (H, W) float metric depth at k
+    flow,                 # (H, W, 2) float flow k-1 -> k on k-1 pixels
+    mask,                 # (H, W) int32 instance labels at k
+    params: FrontendParams,
+    first_frame: bool = False,
+):
+    """One tracking step. Returns the updated TrackerState.
+
+    Correspondence contract: slot i of the OLD state (uv/depth at k-1) and
+    slot i of the NEW state (uv/depth at k) form the (k-1, k) correspondence
+    when both `valid` flags are set and the tracklet id is unchanged.
+    """
+    tp = params.tracker
+    H, W = gray.shape
+    dtype = gray.dtype
+    border_u, border_v = tp.shrink_col, tp.shrink_row
+
+    def in_bounds(uv):
+        return (
+            (uv[:, 0] >= border_u)
+            & (uv[:, 0] <= W - 1 - border_u)
+            & (uv[:, 1] >= border_v)
+            & (uv[:, 1] <= H - 1 - border_v)
+        )
+
+    # ======== propagate static tracks ====================================
+    flow_s = interp.sample_flow(flow, state.s_uv)
+    s_uv = state.s_uv + flow_s
+    s_label = interp.sample_label(mask, s_uv)
+    s_depth = interp.sample_depth(depth, s_uv).astype(dtype)
+    s_ok = (
+        state.s_valid
+        & (~first_frame)
+        & in_bounds(s_uv)
+        & (s_label == 0)
+        & (s_depth > 0)
+        & (s_depth < params.max_background_depth)
+        & (state.s_age < tp.max_feature_track_age)
+    )
+
+    # ======== propagate dynamic tracks ===================================
+    flow_d = interp.sample_flow(flow, state.d_uv)
+    d_uv = state.d_uv + flow_d
+    d_label = interp.sample_label(mask, d_uv)
+    d_depth = interp.sample_depth(depth, d_uv).astype(dtype)
+    flow_mag = jnp.linalg.norm(flow_d, axis=-1)
+    d_ok = (
+        state.d_valid
+        & (~first_frame)
+        & in_bounds(d_uv)
+        & (d_label == state.d_oid)      # label consistency (trackDynamic:412)
+        & (d_label > 0)
+        & (d_depth > 0)
+        & (d_depth < params.max_object_depth)
+        & (state.d_age < tp.max_dynamic_feature_age)
+    )
+
+    # ======== detection: static (Shi-Tomasi + grid ANMS) =================
+    cell = tp.detection_cell_size
+    gh, gw = H // cell, W // cell
+    response = shi_tomasi_response(gray)
+    best, cu, cv = _cell_reduce(response, cell)
+    cand_uv = jnp.stack([cu, cv], axis=-1)
+    cand_label = interp.sample_label(mask, cand_uv)
+    cand_depth = interp.sample_depth(depth, cand_uv).astype(dtype)
+    occ_s = _occupancy(s_uv, s_ok, cell, gh, gw)
+    cand_ok_s = (
+        (best > tp.min_corner_response)
+        & (cand_label == 0)
+        & (cand_depth > 0)
+        & (cand_depth < params.max_background_depth)
+        & ~occ_s
+        & in_bounds(cand_uv)
+    )
+    need_static = jnp.sum(s_ok) < tp.min_features_per_frame
+    max_new_s = jnp.where(need_static | first_frame, state.s_uv.shape[0], 0)
+    assign_s = _fill_free_slots(state.s_tid, s_ok, best, cand_ok_s, max_new_s)
+
+    new_s = assign_s >= 0
+    a_s = jnp.clip(assign_s, 0, cand_uv.shape[0] - 1)
+    n_new_s = jnp.cumsum(new_s)                       # for tracklet ids
+    s_uv = jnp.where(new_s[:, None], cand_uv[a_s], s_uv)
+    s_depth = jnp.where(new_s, cand_depth[a_s], s_depth)
+    s_tid = jnp.where(new_s, state.next_tid + n_new_s - 1, state.s_tid)
+    s_age = jnp.where(new_s, 0, state.s_age + 1)
+    s_valid = s_ok | new_s
+    next_tid = state.next_tid + n_new_s[-1]
+
+    # ======== detection: dynamic (grid sampling on object masks) =========
+    dcell = max(tp.min_distance_btw_tracked_and_detected_dynamic_features, 4)
+    dgh, dgw = H // dcell, W // dcell
+    # sample cell centers; a cell is a candidate if its center is on an object
+    ccu = (jnp.arange(dgw, dtype=dtype)[None, :] * dcell + dcell // 2).repeat(dgh, 0).reshape(-1)
+    ccv = (jnp.arange(dgh, dtype=dtype)[:, None] * dcell + dcell // 2).repeat(dgw, 1).reshape(-1)
+    dcand_uv = jnp.stack([ccu, ccv], axis=-1)
+    dcand_label = interp.sample_label(mask, dcand_uv)
+    dcand_depth = interp.sample_depth(depth, dcand_uv).astype(dtype)
+    occ_d = _occupancy(d_uv, d_ok, dcell, dgh, dgw)
+    dcand_ok = (
+        (dcand_label > 0)
+        & (dcand_depth > 0)
+        & (dcand_depth < params.max_object_depth)
+        & ~occ_d
+        & in_bounds(dcand_uv)
+    )
+    # score: prefer nearer (stronger depth) objects -> use -depth as score
+    assign_d = _fill_free_slots(
+        state.d_tid, d_ok, -dcand_depth, dcand_ok, state.d_uv.shape[0]
+    )
+    new_d = assign_d >= 0
+    a_d = jnp.clip(assign_d, 0, dcand_uv.shape[0] - 1)
+    n_new_d = jnp.cumsum(new_d)
+    d_uv = jnp.where(new_d[:, None], dcand_uv[a_d], d_uv)
+    d_depth = jnp.where(new_d, dcand_depth[a_d], d_depth)
+    d_oid = jnp.where(new_d, dcand_label[a_d], state.d_oid)
+    d_tid = jnp.where(new_d, next_tid + n_new_d - 1, state.d_tid)
+    d_age = jnp.where(new_d, 0, state.d_age + 1)
+    d_valid = d_ok | new_d
+    next_tid = next_tid + n_new_d[-1]
+
+    # ======== object slot bookkeeping ====================================
+    # allocate stable slots for object ids present among valid dynamic tracks
+    obj_ids = _update_object_slots(state.obj_ids, d_oid, d_valid)
+
+    return state.replace(
+        s_uv=s_uv,
+        s_depth=s_depth,
+        s_tid=s_tid,
+        s_age=s_age,
+        s_valid=s_valid,
+        d_uv=d_uv,
+        d_depth=d_depth,
+        d_tid=d_tid,
+        d_oid=d_oid,
+        d_age=d_age,
+        d_valid=d_valid,
+        obj_ids=obj_ids,
+        next_tid=next_tid,
+    )
+
+
+def _update_object_slots(obj_ids, d_oid, d_valid):
+    """Keep a stable (J,) table of object ids seen among valid tracks.
+
+    Slots whose object vanished entirely are freed; new ids get free slots.
+    """
+    J = obj_ids.shape[0]
+    # which existing slots still have tracks?
+    present = (obj_ids[:, None] == d_oid[None, :]) & d_valid[None, :]  # (J, Nd)
+    keep = jnp.any(present, axis=1) & (obj_ids > 0)
+    obj_ids = jnp.where(keep, obj_ids, -1)
+
+    # candidate new ids: valid track labels not yet in the table. Process via
+    # a bounded scan over J free slots: each iteration admits the smallest
+    # unrepresented label (labels are small ints from tracked masks).
+    def admit(ids, _):
+        known = jnp.any(ids[:, None] == d_oid[None, :], axis=0)
+        cand = jnp.where(d_valid & (d_oid > 0) & ~known, d_oid, jnp.iinfo(jnp.int32).max)
+        new_id = jnp.min(cand)
+        has_new = new_id != jnp.iinfo(jnp.int32).max
+        free = ids < 0
+        first_free = jnp.argmax(free)
+        can = has_new & jnp.any(free)
+        ids = ids.at[jnp.where(can, first_free, J)].set(
+            jnp.where(can, new_id, 0), mode="drop"
+        )
+        return ids, None
+
+    obj_ids, _ = jax.lax.scan(admit, obj_ids, None, length=J)
+    return obj_ids

@@ -1,0 +1,210 @@
+"""Backend tests against the scenario simulator (reference pattern:
+dynosam/test/test_rgbd_backend.cc + backend_runners.hpp harnesses)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynosam_tpu.backend import graph, solver, window
+from dynosam_tpu.backend.backend import RegularBackend
+from dynosam_tpu.config import BackendParams
+from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
+from dynosam_tpu.utils import lie
+
+MAX_OBJ = 4
+
+
+def small_cfg(**kw):
+    base = dict(
+        max_frames=8,
+        max_objects=MAX_OBJ,
+        max_static_landmarks=256,
+        max_dynamic_landmarks=96,
+    )
+    base.update(kw)
+    return BackendParams(**base)
+
+
+@pytest.fixture(scope="module")
+def clean_scn():
+    return Scenario(ScenarioSpec.default_two_objects(num_frames=8))
+
+
+@pytest.fixture(scope="module")
+def noisy_scn():
+    return Scenario(
+        ScenarioSpec.default_two_objects(
+            num_frames=12, pixel_noise=0.4, depth_noise=0.02, seed=5
+        )
+    )
+
+
+def ingest_all(scn, cfg, n=None):
+    st = graph.empty_graph(cfg)
+    for k in range(n or scn.spec.num_frames):
+        st = graph.update_from_packet(st, scn.measurements(k, MAX_OBJ), scn.intr, cfg)
+    return st
+
+
+def pose_errors(st, scn, frames):
+    return [
+        float(jnp.linalg.norm(lie.local_coordinates(st.X[k], scn.X_gt[k])))
+        for k in frames
+    ]
+
+
+class TestFullBatch:
+    def test_exact_recovery(self, clean_scn):
+        cfg = small_cfg()
+        st = ingest_all(clean_scn, cfg)
+        st = solver.optimize(st, cfg)
+        assert max(pose_errors(st, clean_scn, range(8))) < 1e-3
+        for j in range(2):
+            for k in range(1, 8):
+                err = jnp.linalg.norm(
+                    lie.local_coordinates(st.H[j, k], clean_scn.H_gt[j][k])
+                )
+                assert float(err) < 1e-3
+
+    def test_error_decreases(self, noisy_scn):
+        cfg = small_cfg()
+        st = ingest_all(noisy_scn, cfg, n=8)
+        e0 = float(solver.total_error(st, cfg))
+        st = solver.optimize(st, cfg)
+        e1 = float(solver.total_error(st, cfg))
+        assert e1 < 0.1 * e0
+
+    def test_noisy_accuracy(self, noisy_scn):
+        cfg = small_cfg()
+        st = ingest_all(noisy_scn, cfg, n=8)
+        st = solver.optimize(st, cfg)
+        # camera within mm-level, motions within ~6cm under
+        # 0.4px / 2cm depth noise
+        assert max(pose_errors(st, noisy_scn, range(8))) < 0.02
+        for j in range(2):
+            err = jnp.linalg.norm(
+                lie.local_coordinates(st.H[j, 4], noisy_scn.H_gt[j][4])
+            )
+            assert float(err) < 0.08
+
+    def test_landmarks_recovered(self, clean_scn):
+        cfg = small_cfg()
+        st = ingest_all(clean_scn, cfg)
+        st = solver.optimize(st, cfg)
+        gate = np.asarray(jnp.sum(st.s_valid, axis=0) >= cfg.min_static_observations)
+        ms = np.asarray(st.ms)[gate]
+        gt = np.asarray(clean_scn.static_points)[gate[: clean_scn.spec.num_static]]
+        assert np.abs(ms - gt).max() < 1e-2
+
+
+class TestSlidingWindow:
+    def test_advance_preserves_estimates(self, clean_scn):
+        cfg = small_cfg()
+        st = ingest_all(clean_scn, cfg)
+        st = solver.optimize(st, cfg)
+        X1_before = np.asarray(st.X[1])
+        st2 = window.advance(st, cfg)
+        assert int(st2.num_frames) == 7
+        np.testing.assert_allclose(np.asarray(st2.X[0]), X1_before, atol=1e-6)
+        assert bool(st2.prior_valid)
+        # prior pins the estimates: re-optimizing shouldn't move them much
+        st3 = solver.optimize(st2, cfg)
+        np.testing.assert_allclose(
+            np.asarray(st3.X[0]), X1_before, atol=5e-3
+        )
+
+    def test_streaming_matches_batch(self, noisy_scn):
+        """Sliding window over 12 frames vs 12-frame full batch."""
+        cfg_sw = small_cfg(max_frames=8, optimization_mode=1)
+        be = RegularBackend(cfg_sw, noisy_scn.intr)
+        outputs = [be.step(noisy_scn.measurements(k, MAX_OBJ)) for k in range(12)]
+
+        cfg_fb = small_cfg(max_frames=12)
+        st = ingest_all(noisy_scn, cfg_fb, n=12)
+        st = solver.optimize(st, cfg_fb)
+
+        # compare latest-frame poses from streaming vs batch (both noisy
+        # estimates; they should agree to sub-centimeter)
+        # fixed-lag absolute pose drifts vs batch (early-frame errors are
+        # frozen at marginalisation) — a few cm over 12 frames is expected;
+        # see window.py docstring for the approximation.
+        X_sw = outputs[-1].X_world_cam
+        X_fb = np.asarray(st.X[11])
+        delta = lie.local_coordinates(jnp.asarray(X_sw), jnp.asarray(X_fb))
+        assert float(jnp.linalg.norm(delta)) < 0.05
+        # and both near GT
+        err_sw = lie.local_coordinates(jnp.asarray(X_sw), noisy_scn.X_gt[11])
+        assert float(jnp.linalg.norm(err_sw)) < 0.05
+
+    def test_object_motion_streaming(self, noisy_scn):
+        cfg = small_cfg(max_frames=8, optimization_mode=1)
+        be = RegularBackend(cfg, noisy_scn.intr)
+        for k in range(12):
+            out = be.step(noisy_scn.measurements(k, MAX_OBJ))
+        for j, oid in enumerate(noisy_scn.object_ids):
+            slot = list(out.object_ids).index(oid)
+            assert out.object_motion_valid[slot]
+            # newest-frame motion sees only one ternary pair + smoothing —
+            # loosest estimate in the window
+            err = lie.local_coordinates(
+                jnp.asarray(out.object_motions[slot]), noisy_scn.H_gt[j][11]
+            )
+            assert float(jnp.linalg.norm(err)) < 0.25
+            # window-interior motions are fully smoothed: much tighter
+            H9 = be.motion_at(9, oid)
+            assert H9 is not None
+            err9 = lie.local_coordinates(jnp.asarray(H9), noisy_scn.H_gt[j][9])
+            assert float(jnp.linalg.norm(err9)) < 0.1
+
+
+class TestIncremental:
+    def test_incremental_tracks_batch(self, noisy_scn):
+        cfg = small_cfg(max_frames=8, optimization_mode=2)
+        be = RegularBackend(cfg, noisy_scn.intr)
+        for k in range(12):
+            out = be.step(noisy_scn.measurements(k, MAX_OBJ))
+        err = lie.local_coordinates(
+            jnp.asarray(out.X_world_cam), noisy_scn.X_gt[11]
+        )
+        assert float(jnp.linalg.norm(err)) < 0.05
+
+
+class TestBackendModule:
+    def test_full_batch_mode(self, clean_scn):
+        cfg = small_cfg(optimization_mode=0)
+        be = RegularBackend(cfg, clean_scn.intr)
+        for k in range(8):
+            be.step(clean_scn.measurements(k, MAX_OBJ))
+        be.finish()
+        X = be.pose_at(7)
+        err = lie.local_coordinates(jnp.asarray(X), clean_scn.X_gt[7])
+        assert float(jnp.linalg.norm(err)) < 1e-3
+
+    def test_accessors(self, clean_scn):
+        cfg = small_cfg(optimization_mode=1)
+        be = RegularBackend(cfg, clean_scn.intr)
+        for k in range(5):
+            be.step(clean_scn.measurements(k, MAX_OBJ))
+        assert be.pose_at(99) is None
+        assert be.motion_at(3, object_id=1) is not None
+        assert be.motion_at(3, object_id=77) is None
+
+    def test_object_poses_propagate(self, clean_scn):
+        cfg = small_cfg(optimization_mode=1)
+        be = RegularBackend(cfg, clean_scn.intr)
+        for k in range(6):
+            out = be.step(clean_scn.measurements(k, MAX_OBJ))
+        # propagated pose of object 1 should track GT relative motion:
+        # L_k = H_k ... H_2 L_1 with L_1 centroid-initialised; verify the
+        # relative pose L_k L_1^{-1} equals the GT motion composition.
+        j_gt = 0  # object id 1
+        slot = list(out.object_ids).index(1)
+        L_k = jnp.asarray(out.object_poses[slot])
+        H_prod = lie.identity()
+        for k in range(2, 6):
+            H_prod = lie.compose(clean_scn.H_gt[j_gt][k], H_prod)
+        # relative translation should match the GT displacement of centroid
+        c1 = clean_scn.object_points_world[j_gt][1].mean(axis=0)
+        ck_gt = lie.transform_points(H_prod, c1)
+        ck_est = lie.transform_points(L_k, jnp.zeros(3))  # L translation ~ centroid
+        assert float(jnp.linalg.norm(ck_est - ck_gt)) < 0.05
