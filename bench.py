@@ -1,0 +1,148 @@
+"""End-to-end benchmark: fused frontend+backend SLAM step at KITTI scale.
+
+Runs the full per-frame pipeline (dense-flow tracking + RANSAC motion solves
++ windowed LM backend, incremental mode) on KITTI-tracking-sized synthetic
+RGB-D frames (384 x 1280, ~800 static + 1024 dynamic tracks, 8 object slots)
+on the available accelerator and reports steady-state FPS.
+
+Baseline: the driver target is > 100 FPS end-to-end on TPU v5e-1
+(BASELINE.md); the reference system is not real-time on its edge target
+(/root/reference/README.md:101).
+
+Prints exactly one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+HEIGHT, WIDTH = 384, 1280
+WARMUP = 5
+MEASURE = 30
+DISTINCT_FRAMES = 8
+
+
+def build():
+    import jax
+
+    from dynosam_tpu.config import (
+        BackendParams,
+        DynoConfig,
+        FrontendParams,
+        MotionSolverParams,
+        OptimizerParams,
+        RansacParams,
+        TrackerParams,
+    )
+    from dynosam_tpu.cv import camera as cam
+    from dynosam_tpu.dataproviders.simulator import ObjectSpec, ScenarioSpec
+    from dynosam_tpu.dataproviders.synthetic_dense import DenseScenario
+    from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
+
+    cfg = DynoConfig(
+        frontend=FrontendParams(
+            max_objects=8,
+            tracker=TrackerParams(
+                max_features_per_frame=800,
+                min_features_per_frame=300,
+                max_dynamic_features_per_frame=1024,
+                detection_cell_size=16,
+                min_corner_response=1e-6,
+            ),
+            motion_solver=MotionSolverParams(
+                camera=RansacParams(ransac_iterations=500),
+                object=RansacParams(ransac_iterations=300, min_inliers=8),
+                refinement_iterations=6,
+            ),
+        ),
+        backend=BackendParams(
+            optimization_mode=2,          # incremental (realtime mode)
+            max_frames=10,                # reference opt_window_size=10
+            max_objects=8,
+            max_static_landmarks=800,
+            max_dynamic_landmarks=1024,
+            optimizer=OptimizerParams(max_iterations=3),
+        ),
+    )
+
+    intr = cam.CameraIntrinsics.create(
+        fx=720.0, fy=720.0, cx=WIDTH / 2, cy=HEIGHT / 2, width=WIDTH, height=HEIGHT
+    )
+    spec = ScenarioSpec(
+        num_frames=DISTINCT_FRAMES,
+        num_static=0,
+        camera_motion_xi=np.array([0.0, 0.004, 0.0, 0.0, 0.0, 0.8]),
+        objects=[
+            ObjectSpec(
+                object_id=1,
+                initial_pose_xi=np.array([0.0, 0.0, 0.0, -4.0, 0.3, 16.0]),
+                motion_xi=np.array([0.0, 0.01, 0.0, 0.5, 0.0, 0.1]),
+                num_points=0,
+            ),
+            ObjectSpec(
+                object_id=2,
+                initial_pose_xi=np.array([0.0, 0.0, 0.0, 5.0, 0.0, 22.0]),
+                motion_xi=np.array([0.0, -0.008, 0.0, -0.4, 0.0, 0.15]),
+                num_points=0,
+            ),
+            ObjectSpec(
+                object_id=3,
+                initial_pose_xi=np.array([0.0, 0.0, 0.0, 0.5, 0.2, 28.0]),
+                motion_xi=np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.9]),
+                num_points=0,
+            ),
+        ],
+    )
+    dense = DenseScenario(spec, intr, ground_y=1.6, far_depth=60.0, object_half_extent=1.6)
+
+    frames = [jax.device_put(dense.frame(k)) for k in range(DISTINCT_FRAMES)]
+    step = jax.jit(make_fused_step(cfg, intr))
+    state = init_pipeline_state(cfg)
+    return step, state, frames
+
+
+def main():
+    import jax
+
+    step, state, frames = build()
+
+    t0 = time.time()
+    state, out = step(state, frames[0])
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    for i in range(1, WARMUP):
+        state, out = step(state, frames[i % DISTINCT_FRAMES])
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for i in range(MEASURE):
+        state, out = step(state, frames[(WARMUP + i) % DISTINCT_FRAMES])
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / MEASURE
+    fps = 1.0 / dt
+
+    print(
+        f"[bench] device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "
+        f"per-frame={dt * 1e3:.2f}ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_fps_kitti_scale_synth",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

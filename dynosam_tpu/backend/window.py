@@ -251,10 +251,10 @@ def advance(state: GraphState, cfg: BackendParams) -> GraphState:
 
     # ---- roll all frame-indexed tables -------------------------------------
     def roll0(x):  # frame axis 0
-        return jnp.concatenate([x[1:], x[:1] * 0], axis=0)
+        return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
 
     def roll1(x):  # frame axis 1
-        return jnp.concatenate([x[:, 1:], x[:, :1] * 0], axis=1)
+        return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
 
     X = jnp.concatenate([state.X[1:], state.X[-1:]], axis=0)
     H = jnp.concatenate([state.H[:, 1:], state.H[:, -1:]], axis=1)

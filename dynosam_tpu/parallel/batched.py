@@ -1,0 +1,115 @@
+"""Multi-sequence / multi-chip execution via jax.sharding.
+
+The reference is a single-process, multi-threaded system (SURVEY.md §2.10) —
+its only parallelism beyond threads is TBB's per-object loop. The TPU-native
+scaling story replaces that with SPMD over a device Mesh:
+
+  * sequences form a leading batch axis, sharded over the mesh's "data" axis
+    (multi-sequence batched streaming — driver config #5);
+  * objects and landmark tables inside each sequence are already padded batch
+    axes consumed by batched einsums (the ParallelHybrid TBB loop analogue);
+  * the fused per-frame step (frontend track+solve -> backend ingest ->
+    windowed LM) is ONE jitted program, so XLA overlaps everything and
+    inserts any needed collectives.
+
+`make_fused_step` builds the single-sequence program; `make_batched_pipeline`
+vmaps + shards it over a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dynosam_tpu.backend import graph as graph_mod
+from dynosam_tpu.backend import solver
+from dynosam_tpu.backend.graph import GraphState
+from dynosam_tpu.backend import window as window_mod
+from dynosam_tpu.config import DynoConfig
+from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.frontend.frontend import (
+    FrontendState,
+    empty_frontend_state,
+    frontend_step,
+)
+from dynosam_tpu.frontend.types import FrameInputs
+
+
+@flax.struct.dataclass
+class PipelineState:
+    frontend: FrontendState
+    graph: GraphState
+
+
+def init_pipeline_state(cfg: DynoConfig, key=None) -> PipelineState:
+    return PipelineState(
+        frontend=empty_frontend_state(cfg.frontend, key=key),
+        graph=graph_mod.empty_graph(cfg.backend),
+    )
+
+
+def make_fused_step(cfg: DynoConfig, intr: cam.CameraIntrinsics):
+    """One full SLAM step: images in -> optimized state out. Pure, jittable."""
+
+    def step(state: PipelineState, inputs: FrameInputs):
+        fe_state, packet = frontend_step(state.frontend, inputs, intr, cfg.frontend)
+        g = state.graph
+        # slide when full (branchless: advance is only meaningful when full)
+        full = g.num_frames >= cfg.backend.max_frames
+        g = jax.lax.cond(
+            full,
+            lambda s: window_mod.advance(s, cfg.backend),
+            lambda s: s,
+            g,
+        )
+        g = graph_mod.update_from_packet(g, packet, intr, cfg.backend)
+        g = solver.optimize(g, cfg.backend)
+        new_state = PipelineState(frontend=fe_state, graph=g)
+        latest = jnp.clip(g.num_frames - 1, 0, cfg.backend.max_frames - 1)
+        outputs = {
+            "X_world_cam": g.X[latest],
+            "object_ids": g.obj_ids,
+            "object_motions": g.H[:, latest],
+            "object_motion_valid": g.H_valid[:, latest],
+            "frontend_pose": packet.X_world_cam,
+        }
+        return new_state, outputs
+
+    return step
+
+
+def make_batched_pipeline(
+    cfg: DynoConfig,
+    intr: cam.CameraIntrinsics,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+):
+    """vmapped fused step, optionally sharded over `mesh[axis]` (1 sequence
+    per shard slot). Returns (jitted_step, init_fn)."""
+    step = make_fused_step(cfg, intr)
+    batched = jax.vmap(step)
+
+    if mesh is None:
+        return jax.jit(batched), lambda n: _init_batch(cfg, n)
+
+    shard = NamedSharding(mesh, P(axis))
+
+    def spec_like(tree):
+        return jax.tree.map(lambda _: shard, tree)
+
+    def init_fn(n: int) -> PipelineState:
+        states = _init_batch(cfg, n)
+        return jax.device_put(states, shard)
+
+    jitted = jax.jit(batched, in_shardings=(shard, shard), out_shardings=(shard, shard))
+    return jitted, init_fn
+
+
+def _init_batch(cfg: DynoConfig, n: int) -> PipelineState:
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    return jax.vmap(lambda k: init_pipeline_state(cfg, key=k))(keys)

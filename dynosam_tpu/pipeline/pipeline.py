@@ -1,0 +1,154 @@
+"""Host-side pipeline orchestration.
+
+Replaces the reference's thread/queue pipeline (DynoPipelineManager,
+/root/reference/dynosam/src/pipeline/PipelineManager.cc:47-433: 5 spinner
+threads connected by ThreadsafeQueues) with the natural JAX shape: two jitted
+device programs (frontend step, backend step) driven by a thin host loop with
+a background prefetch thread staging the next frame's images onto the device
+while the current frame computes. JAX's async dispatch provides the
+frontend/backend overlap the reference gets from threads.
+
+`parallel_run=False` (the reference's sequential mode) simply disables the
+prefetch thread.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from dynosam_tpu.backend.backend import BackendOutput, RegularBackend
+from dynosam_tpu.config import DynoConfig
+from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.frontend.frontend import empty_frontend_state, frontend_step
+from dynosam_tpu.frontend.types import FrameInputs, GroundTruthFrame, VisionPacket
+from dynosam_tpu.utils import lie
+from dynosam_tpu.utils.logger import EstimationModuleLogger
+from dynosam_tpu.utils.stats import Statistics, Timer
+
+
+def _prefetch(it: Iterator, size: int) -> Iterator:
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(jax.tree.map(jax.device_put, item))
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+class DynoPipeline:
+    """Frontend + backend, wired; the DynoPipelineManager analogue."""
+
+    def __init__(
+        self,
+        cfg: DynoConfig,
+        intr: cam.CameraIntrinsics,
+        output_path: Optional[str] = None,
+        module_name: str = "dynosam_tpu",
+    ):
+        self.cfg = cfg
+        self.intr = intr
+        self.frontend_state = empty_frontend_state(cfg.frontend)
+        self._frontend_step = jax.jit(
+            lambda st, inp: frontend_step(st, inp, intr, cfg.frontend)
+        )
+        self.backend = RegularBackend(cfg.backend, intr)
+        self.logger = (
+            EstimationModuleLogger(module_name, output_path) if output_path else None
+        )
+        self.trajectory: List[np.ndarray] = []   # backend camera poses
+        self.frontend_trajectory: List[np.ndarray] = []
+        self.outputs: List[BackendOutput] = []
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self, inputs: FrameInputs, gt: Optional[GroundTruthFrame] = None
+    ) -> BackendOutput:
+        t = Timer("pipeline.frontend").start()
+        self.frontend_state, packet = self._frontend_step(self.frontend_state, inputs)
+        t.stop(block_on=packet.X_world_cam)
+
+        t = Timer("pipeline.backend").start()
+        out = self.backend.step(packet)
+        t.stop()
+
+        self.frontend_trajectory.append(np.asarray(packet.X_world_cam))
+        self.trajectory.append(out.X_world_cam)
+        self.outputs.append(out)
+        if self.logger is not None:
+            self._log(packet, out, gt)
+        return out
+
+    def run(
+        self,
+        frames: Iterable[FrameInputs],
+        gts: Optional[Iterable[Optional[GroundTruthFrame]]] = None,
+    ) -> List[BackendOutput]:
+        it: Iterator = iter(frames)
+        if self.cfg.pipeline.parallel_run:
+            it = _prefetch(it, self.cfg.pipeline.data_provider_prefetch)
+        gts_it = iter(gts) if gts is not None else None
+        t = Timer("pipeline.total").start()
+        for inputs in it:
+            gt = next(gts_it) if gts_it is not None else None
+            self.process_frame(inputs, gt)
+        t.stop()
+        self.finish()
+        return self.outputs
+
+    def finish(self):
+        if self.cfg.backend.optimization_mode == 0:
+            self.backend.finish()
+            # refresh trajectory from the final batch solve
+            ids = np.asarray(self.backend.state.frame_ids)
+            X = np.asarray(self.backend.state.X)
+            for i, fid in enumerate(ids):
+                if 0 <= fid < len(self.trajectory):
+                    self.trajectory[fid] = X[i]
+        if self.logger is not None:
+            self.logger.close()
+
+    # ------------------------------------------------------------------
+    def _log(self, packet: VisionPacket, out: BackendOutput, gt):
+        fid = out.frame_id
+        gt_X = np.asarray(gt.X_world_cam) if gt is not None else None
+        self.logger.log_camera_pose(fid, out.X_world_cam, gt_X)
+        for j, oid in enumerate(out.object_ids):
+            oid = int(oid)
+            if oid <= 0 or not out.object_motion_valid[j]:
+                continue
+            H_gt = None
+            L_gt = None
+            if gt is not None:
+                gids = np.asarray(gt.object_ids)
+                hit = np.nonzero(gids == oid)[0]
+                if len(hit):
+                    H_gt = np.asarray(gt.object_motions[int(hit[0])])
+                    L_gt = np.asarray(gt.object_poses[int(hit[0])])
+            self.logger.log_object_motion(fid, oid, out.object_motions[j], H_gt)
+            self.logger.log_object_pose(fid, oid, out.object_poses[j], L_gt)
+        valid = out.dynamic_valid
+        if valid.any():
+            self.logger.log_map_points(
+                fid,
+                out.dynamic_object_ids[valid],
+                np.nonzero(valid)[0],
+                out.dynamic_landmarks[valid],
+            )
+
+    def write_stats(self, path: str):
+        Statistics.write_all_samples_to_csv(path)

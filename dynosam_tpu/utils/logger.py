@@ -1,0 +1,94 @@
+"""Estimation CSV loggers with the reference's exact schemas.
+
+Reference parity: /root/reference/dynosam_common/src/logger/Logger.cc:140-171
+(EstimationModuleLogger): per-module files
+  <module>_camera_pose_log.csv   frame_id,tx,ty,tz,qx,qy,qz,qw,gt_* (7)
+  <module>_object_pose_log.csv   frame_id,object_id,pose(7),gt(7)
+  <module>_object_motion_log.csv frame_id,object_id,motion(7),gt(7)
+  <module>_map_points_log.csv    frame_id,object_id,tracklet_id,x,y,z (world)
+  frame_id_timestamp.csv         frame_id,timestamp [ns]
+Matching the schemas keeps the evaluation suite (and the reference's own
+eval tooling) usable on our outputs.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Optional
+
+import numpy as np
+
+from dynosam_tpu.utils import lie
+
+
+def _pose_to_row(T) -> list:
+    T = np.asarray(T)
+    q = np.asarray(lie.rot_to_quat(T[:3, :3]))
+    t = T[:3, 3]
+    return [t[0], t[1], t[2], q[0], q[1], q[2], q[3]]  # tx ty tz qx qy qz qw
+
+
+class EstimationModuleLogger:
+    def __init__(self, module_name: str, output_path: str):
+        self.module = module_name
+        self.path = output_path
+        os.makedirs(output_path, exist_ok=True)
+        self._files = {}
+        self._writers = {}
+        self._open(
+            "camera_pose",
+            ["frame_id", "tx", "ty", "tz", "qx", "qy", "qz", "qw",
+             "gt_tx", "gt_ty", "gt_tz", "gt_qx", "gt_qy", "gt_qz", "gt_qw"],
+        )
+        self._open(
+            "object_pose",
+            ["frame_id", "object_id", "tx", "ty", "tz", "qx", "qy", "qz", "qw",
+             "gt_tx", "gt_ty", "gt_tz", "gt_qx", "gt_qy", "gt_qz", "gt_qw"],
+        )
+        self._open(
+            "object_motion",
+            ["frame_id", "object_id", "tx", "ty", "tz", "qx", "qy", "qz", "qw",
+             "gt_tx", "gt_ty", "gt_tz", "gt_qx", "gt_qy", "gt_qz", "gt_qw"],
+        )
+        self._open(
+            "map_points",
+            ["frame_id", "object_id", "tracklet_id", "x_world", "y_world", "z_world"],
+        )
+
+    def _open(self, kind: str, header):
+        fname = os.path.join(self.path, f"{self.module}_{kind}_log.csv")
+        f = open(fname, "w", newline="")
+        w = csv.writer(f)
+        w.writerow(header)
+        self._files[kind] = f
+        self._writers[kind] = w
+
+    # ------------------------------------------------------------------
+    def log_camera_pose(self, frame_id: int, T, T_gt=None):
+        gt = _pose_to_row(T_gt) if T_gt is not None else [""] * 7
+        self._writers["camera_pose"].writerow([frame_id] + _pose_to_row(T) + gt)
+
+    def log_object_pose(self, frame_id: int, object_id: int, L, L_gt=None):
+        gt = _pose_to_row(L_gt) if L_gt is not None else [""] * 7
+        self._writers["object_pose"].writerow(
+            [frame_id, object_id] + _pose_to_row(L) + gt
+        )
+
+    def log_object_motion(self, frame_id: int, object_id: int, H, H_gt=None):
+        gt = _pose_to_row(H_gt) if H_gt is not None else [""] * 7
+        self._writers["object_motion"].writerow(
+            [frame_id, object_id] + _pose_to_row(H) + gt
+        )
+
+    def log_map_points(self, frame_id: int, object_ids, tracklet_ids, points):
+        w = self._writers["map_points"]
+        for oid, tid, p in zip(
+            np.asarray(object_ids), np.asarray(tracklet_ids), np.asarray(points)
+        ):
+            w.writerow([frame_id, int(oid), int(tid), p[0], p[1], p[2]])
+
+    def close(self):
+        for f in self._files.values():
+            f.close()
+        self._files = {}
