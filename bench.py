@@ -55,9 +55,12 @@ def build():
                 min_corner_response=1e-6,
             ),
             motion_solver=MotionSolverParams(
-                camera=RansacParams(ransac_iterations=500),
-                object=RansacParams(ransac_iterations=300, min_inliers=8),
-                refinement_iterations=6,
+                # fixed-batch RANSAC: 256 hypotheses of 3 points give
+                # P(miss) < 1e-7 at 50% inliers — statistically equivalent to
+                # the reference's 500 adaptive iterations
+                camera=RansacParams(ransac_iterations=256),
+                object=RansacParams(ransac_iterations=128, min_inliers=8),
+                refinement_iterations=4,
             ),
         ),
         backend=BackendParams(

@@ -60,11 +60,14 @@ class RegularBackend:
         self._step_count = 0
 
         mode_cfg = cfg
-        if cfg.optimization_mode == 2:  # incremental: few warm-started iters
+        if cfg.optimization_mode == 2:  # incremental: few warm-started GN iters
             import dataclasses
 
             mode_cfg = dataclasses.replace(
-                cfg, optimizer=dataclasses.replace(cfg.optimizer, max_iterations=3)
+                cfg,
+                optimizer=dataclasses.replace(
+                    cfg.optimizer, max_iterations=3, accept_reject=False
+                ),
             )
         self._opt_cfg = mode_cfg
 

@@ -84,45 +84,20 @@ def between_residual(A, B, Z):
     return lie.se3_log(lie.mm(lie.inverse(Z), lie.mm(lie.inverse(A), B)))
 
 
-def between_jacobians(A, B, Z):
+def between_jacobians(A, B, Z, r=None):
     """Returns (J_A (...,6,6), J_B (...,6,6)) for right perturbations.
 
-    Computed with forward-mode autodiff through the retraction. These 6x6
-    Jacobians are needed for only O(frames + frames*objects) factors per
-    solve (vs thousands of point factors), so exactness beats the closed-form
-    Jr^{-1}/adjoint expressions here.
+    Closed form: with r = log(Z^{-1} A^{-1} B),
+      J_B = Jr^{-1}(r),   J_A = -Jr^{-1}(r) Ad(B^{-1} A)
+    using the exact SE(3) inverse right Jacobian (lie.se3_right_jacobian_inv,
+    Barfoot eq. 7.86). Verified against jacfwd in tests/test_factors.py.
+    Pass `r` if already computed to avoid recomputation.
     """
-    import jax
-
-    zeros = jnp.zeros(A.shape[:-2] + (6,), dtype=A.dtype)
-
-    def res_A(xi):
-        return between_residual(lie.retract(A, xi), B, Z)
-
-    def res_B(xi):
-        return between_residual(A, lie.retract(B, xi), Z)
-
-    if A.ndim == 2:
-        return jax.jacfwd(res_A)(zeros), jax.jacfwd(res_B)(zeros)
-    # batched: vmap the single-instance jacobian
-    def one(a, b, z):
-        ja = jax.jacfwd(lambda xi: between_residual(lie.retract(a, xi), b, z))(
-            jnp.zeros(6, dtype=A.dtype)
-        )
-        jb = jax.jacfwd(lambda xi: between_residual(a, lie.retract(b, xi), z))(
-            jnp.zeros(6, dtype=A.dtype)
-        )
-        return ja, jb
-
-    import functools
-
-    flat_shape = (-1, 4, 4)
-    Af, Bf, Zf = (x.reshape(flat_shape) for x in (A, B, Z))
-    ja, jb = jax.vmap(one)(Af, Bf, Zf)
-    return (
-        ja.reshape(A.shape[:-2] + (6, 6)),
-        jb.reshape(A.shape[:-2] + (6, 6)),
-    )
+    if r is None:
+        r = between_residual(A, B, Z)
+    Jr_inv = lie.se3_right_jacobian_inv(r)
+    Ad = lie.adjoint(lie.mm(lie.inverse(B), A))
+    return -lie.mm(Jr_inv, Ad), Jr_inv
 
 
 # ---------------------------------------------------------------------------
@@ -133,20 +108,11 @@ def prior_residual(X, Z):
     return lie.se3_log(lie.mm(lie.inverse(Z), X))
 
 
-def prior_jacobian(X, Z):
-    import jax
-
-    if X.ndim == 2:
-        return jax.jacfwd(lambda xi: prior_residual(lie.retract(X, xi), Z))(
-            jnp.zeros(6, dtype=X.dtype)
-        )
-    Xf, Zf = X.reshape(-1, 4, 4), Z.reshape(-1, 4, 4)
-    J = jax.vmap(
-        lambda x, z: jax.jacfwd(
-            lambda xi: prior_residual(lie.retract(x, xi), z)
-        )(jnp.zeros(6, dtype=X.dtype))
-    )(Xf, Zf)
-    return J.reshape(X.shape[:-2] + (6, 6))
+def prior_jacobian(X, Z, r=None):
+    """Closed form: J = Jr^{-1}(r) with r = log(Z^{-1} X)."""
+    if r is None:
+        r = prior_residual(X, Z)
+    return lie.se3_right_jacobian_inv(r)
 
 
 # ---------------------------------------------------------------------------

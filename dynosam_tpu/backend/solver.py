@@ -495,6 +495,21 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     """LM to (approximate) convergence. Jittable, shape-static."""
     op = cfg.optimizer
 
+    if not op.accept_reject:
+        # plain damped GN (iSAM2-style non-backtracking updates): no robust
+        # cost evaluation per iteration — roughly halves the per-frame cost.
+        lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+
+        def gn_step(st, _):
+            lin = linearize(st, cfg, lam)
+            L = jnp.linalg.cholesky(lin.S)
+            z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
+            dx = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+            return _apply_update(st, lin, dx), None
+
+        state, _ = jax.lax.scan(gn_step, state, None, length=op.max_iterations)
+        return state
+
     def step(carry, _):
         st, lam, err = carry
         lin = linearize(st, cfg, lam)

@@ -103,6 +103,10 @@ class NoiseParams:
 @dataclass
 class OptimizerParams:
     max_iterations: int = 15
+    # LM accept/reject needs a full robust-cost evaluation per iteration;
+    # incremental (warm-started) mode disables it and runs plain damped GN,
+    # mirroring iSAM2's non-backtracking updates.
+    accept_reject: bool = True
     lm_initial_lambda: float = 1e-4
     lm_lambda_factor: float = 10.0
     lm_min_lambda: float = 1e-9

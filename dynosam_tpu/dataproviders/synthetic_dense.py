@@ -5,16 +5,19 @@ Extends the kinematic simulator (simulator.py) to *dense* per-frame images
 README.md:194-209) with analytically consistent geometry:
 
   * background: a ground plane (y = h) and a far wall -> exact per-pixel depth;
-  * objects: billboard rectangles at the simulator's GT object poses, carrying
-    the object's id in the instance mask;
+  * objects: rectangles rigidly attached to the GT object body frames
+    (ray-plane intersection), carrying the object id in the instance mask;
   * flow: computed per pixel of frame k-1 by back-projecting its depth,
     applying the GT motion (camera for background, H_j for object pixels),
     and re-projecting into frame k — exactly the dense-flow contract the
     tracker consumes;
   * rgb: a procedural texture so corner detection has structure.
 
-Because depth/flow/mask are generated from the same 3D model, a correct
-frontend recovers the GT camera pose and object motions to solver precision.
+Because depth/flow/mask come from the same rigid 3D model, a correct frontend
+recovers the GT camera pose and object motions to solver precision.
+
+The whole per-frame render is ONE jitted function of the frame index —
+op-by-op eager rendering is prohibitively slow on remote-compiled TPU paths.
 """
 
 from __future__ import annotations
@@ -47,119 +50,97 @@ class DenseScenario:
         self.ground_y = ground_y
         self.far_depth = far_depth
         self.obj_e = object_half_extent
+        K = spec.num_frames
+        if self.scn.object_ids:
+            self._L_all = jnp.stack(self.scn.L_gt)     # (J, K, 4, 4)
+            self._H_all = jnp.stack(self.scn.H_gt)     # (J, K, 4, 4)
+        else:
+            self._L_all = jnp.zeros((0, K, 4, 4))
+            self._H_all = jnp.zeros((0, K, 4, 4))
+        self._rgb_const = self._make_rgb()
+        self._frame_jit = jax.jit(self._render_frame)
 
     # ------------------------------------------------------------------
-    def _background_depth(self, X):
-        """Per-pixel depth of ground plane + far wall in camera frame."""
+    def _pixel_rays(self, X):
+        """World-frame ray directions (z-normalised in camera), (H, W, 3)."""
         intr = self.intr
         H, W = intr.height, intr.width
         u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
         v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
         dx = (u - intr.cx) / intr.fx
         dy = (v - intr.cy) / intr.fy
-        # ray in world: R @ (dx, dy, 1); ground plane y_world = ground_y
         R = lie.rotation(X)
-        t = lie.translation(X)
-        d_world = (
+        return (
             R[:, 0][None, None, :] * dx[..., None]
             + R[:, 1][None, None, :] * dy[..., None]
             + R[:, 2][None, None, :]
-        )  # (H, W, 3)
-        denom = d_world[..., 1]
-        lam = (self.ground_y - t[1]) / jnp.where(
-            jnp.abs(denom) < 1e-6, 1e-6, denom
         )
-        ground_ok = (lam > 0.1) & (lam < self.far_depth * 4)
-        depth = jnp.where(ground_ok, lam, self.far_depth)
-        return jnp.clip(depth, 0.1, self.far_depth)
 
-    def _object_layers(self, k: int, X):
-        """Rigid-plane depth+mask for each object at frame k.
-
-        Each object is a rectangle rigidly attached to its body frame (plane
-        through the body origin, normal = body z-axis). Ray-plane
-        intersection per pixel makes depth/flow/mask *exactly* consistent
-        with the GT rigid motion H (a billboard approximation would break
-        consistency for rotating objects).
-        """
-        intr = self.intr
-        H, W = intr.height, intr.width
-        u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
-        v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
-        dx = (u - intr.cx) / intr.fx
-        dy = (v - intr.cy) / intr.fy
-        R = lie.rotation(X)
+    def _background_depth(self, X, d_world):
+        """Ground plane (y_world = ground_y) + world-fixed far wall
+        (z_world = far_depth). Both are true world surfaces, so tracked
+        background pixels have depth measurements consistent with their flow
+        (a constant-camera-depth backdrop would inject scale-collapsing
+        contradictions into the backend)."""
         t = lie.translation(X)
-        d_world = (
-            R[:, 0][None, None, :] * dx[..., None]
-            + R[:, 1][None, None, :] * dy[..., None]
-            + R[:, 2][None, None, :]
-        )  # (H, W, 3) ray directions (z-normalised in camera frame)
-        layers = []
+        dy = d_world[..., 1]
+        lam_ground = (self.ground_y - t[1]) / jnp.where(
+            jnp.abs(dy) < 1e-6, 1e-6, dy
+        )
+        dz = d_world[..., 2]
+        lam_wall = (self.far_depth - t[2]) / jnp.where(
+            jnp.abs(dz) < 1e-6, 1e-6, dz
+        )
+        big = 4.0 * self.far_depth
+        lam_ground = jnp.where(lam_ground > 0.1, lam_ground, big)
+        lam_wall = jnp.where(lam_wall > 0.1, lam_wall, big)
+        depth = jnp.minimum(lam_ground, lam_wall)
+        return jnp.clip(depth, 0.1, big)
+
+    def _depth_mask(self, X, L_stack):
+        """Depth + instance mask at a camera pose with objects at L_stack.
+
+        Objects are rectangles through the body origin with normal = body
+        z-axis; ray-plane intersection keeps depth/flow/mask exactly
+        consistent with rigid motion (a billboard approximation would not be
+        for rotating objects).
+        """
+        d_world = self._pixel_rays(X)
+        t = lie.translation(X)
+        depth = self._background_depth(X, d_world)
+        mask = jnp.zeros(depth.shape, jnp.int32)
         for j, oid in enumerate(self.scn.object_ids):
-            L = self.scn.L_gt[j][k]
+            L = L_stack[j]
             RL = lie.rotation(L)
             p0 = lie.translation(L)
-            n = RL[:, 2]                      # body z-axis
+            n = RL[:, 2]
             denom = jnp.einsum("hwc,c->hw", d_world, n)
             safe = jnp.where(jnp.abs(denom) < 1e-4, 1e-4, denom)
             lam = jnp.einsum("c,c->", n, p0 - t) / safe
             hit_w = t[None, None, :] + d_world * lam[..., None]
-            hit_body = jnp.einsum(
-                "ci,hwc->hwi", RL, hit_w - p0[None, None, :]
-            )
+            hit_body = jnp.einsum("ci,hwc->hwi", RL, hit_w - p0[None, None, :])
             inside = (
                 (lam > 0.5)
                 & (jnp.abs(denom) > 1e-3)
                 & (jnp.abs(hit_body[..., 0]) < self.obj_e)
                 & (jnp.abs(hit_body[..., 1]) < self.obj_e)
             )
-            layers.append((inside, lam, oid))
-        return layers
-
-    # ------------------------------------------------------------------
-    def depth_mask(self, k: int):
-        X = self.scn.X_gt[k]
-        depth = self._background_depth(X)
-        mask = jnp.zeros(depth.shape, jnp.int32)
-        for inside, z, oid in self._object_layers(k, X):
-            occludes = inside & (z < depth)
-            depth = jnp.where(occludes, z, depth)
+            occludes = inside & (lam < depth)
+            depth = jnp.where(occludes, lam, depth)
             mask = jnp.where(occludes, oid, mask)
         return depth, mask
 
-    def rgb(self, k: int):
-        """Procedural texture with corners everywhere (for detection)."""
+    def _flow(self, X_prev, X_k, depth_prev, mask_prev, H_stack):
         intr = self.intr
-        H, W = intr.height, intr.width
-        u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
-        v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
-        g = (
-            jnp.sin(u * 0.7) * jnp.sin(v * 0.9)
-            + 0.5 * jnp.sin(u * 0.23 + v * 0.31)
-        )
-        g = (g - g.min()) / (g.max() - g.min())
-        return jnp.stack([g, g, g], axis=-1)
-
-    def flow(self, k: int):
-        """Dense flow k-1 -> k on frame k-1 pixels (zeros for k = 0)."""
-        intr = self.intr
-        if k == 0:
-            return jnp.zeros((intr.height, intr.width, 2), jnp.float32)
-        X_prev = self.scn.X_gt[k - 1]
-        X_k = self.scn.X_gt[k]
-        depth_prev, mask_prev = self.depth_mask(k - 1)
         H, W = depth_prev.shape
         u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
         v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
         uv = jnp.stack([u, v], axis=-1)
         pts_cam = cam.backproject(uv, depth_prev, intr)
         pts_w = lie.transform_points(X_prev, pts_cam)
-        # move object pixels by their GT world motion H_{j,k}
         pts_w_moved = pts_w
         for j, oid in enumerate(self.scn.object_ids):
-            Hm = self.scn.H_gt[j][k]
-            moved = lie.transform_points(Hm, pts_w)
+            moved = lie.transform_points(H_stack[j], pts_w)
             pts_w_moved = jnp.where(
                 (mask_prev == oid)[..., None], moved, pts_w_moved
             )
@@ -167,15 +148,49 @@ class DenseScenario:
         uv_k = cam.project(pts_cam_k, intr)
         return uv_k - uv
 
-    def frame(self, k: int) -> FrameInputs:
-        depth, mask = self.depth_mask(k)
+    def _make_rgb(self):
+        intr = self.intr
+        H, W = intr.height, intr.width
+        u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+        v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+        g = jnp.sin(u * 0.7) * jnp.sin(v * 0.9) + 0.5 * jnp.sin(
+            u * 0.23 + v * 0.31
+        )
+        g = (g - g.min()) / (g.max() - g.min())
+        return jnp.stack([g, g, g], axis=-1)
+
+    # ------------------------------------------------------------------
+    def _render_frame(self, k):
+        """Jitted: frame index (traced int) -> FrameInputs."""
+        J = len(self.scn.object_ids)
+        k_prev = jnp.maximum(k - 1, 0)
+        X_k = self.scn.X_gt[k]
+        X_prev = self.scn.X_gt[k_prev]
+        if J:
+            L_k = self._L_all[:, k]
+            L_prev = self._L_all[:, k_prev]
+            H_k = self._H_all[:, k]
+        else:
+            L_k = L_prev = H_k = self._L_all[:, 0]
+        depth, mask = self._depth_mask(X_k, L_k)
+        depth_prev, mask_prev = self._depth_mask(X_prev, L_prev)
+        flow = self._flow(X_prev, X_k, depth_prev, mask_prev, H_k)
+        flow = jnp.where(k > 0, flow, jnp.zeros_like(flow))
         return FrameInputs(
-            frame_id=jnp.array(k, jnp.int32),
-            rgb=self.rgb(k),
+            frame_id=k.astype(jnp.int32),
+            rgb=self._rgb_const,
             depth=depth,
-            flow=self.flow(k),
+            flow=flow,
             mask=mask,
         )
+
+    # public API -----------------------------------------------------------
+    def depth_mask(self, k: int):
+        L_k = self._L_all[:, k] if len(self.scn.object_ids) else self._L_all[:, 0]
+        return self._depth_mask(self.scn.X_gt[k], L_k)
+
+    def frame(self, k: int) -> FrameInputs:
+        return self._frame_jit(jnp.asarray(k, jnp.int32))
 
     def frames(self) -> List[FrameInputs]:
         return [self.frame(k) for k in range(self.scn.spec.num_frames)]

@@ -55,6 +55,20 @@ def init_pipeline_state(cfg: DynoConfig, key=None) -> PipelineState:
 
 def make_fused_step(cfg: DynoConfig, intr: cam.CameraIntrinsics):
     """One full SLAM step: images in -> optimized state out. Pure, jittable."""
+    import dataclasses
+
+    bcfg = cfg.backend
+    if bcfg.optimization_mode == 2 and bcfg.optimizer.accept_reject:
+        # incremental mode: warm-started damped GN (see RegularBackend)
+        bcfg = dataclasses.replace(
+            bcfg,
+            optimizer=dataclasses.replace(
+                bcfg.optimizer,
+                accept_reject=False,
+                max_iterations=min(3, bcfg.optimizer.max_iterations),
+            ),
+        )
+    cfg = dataclasses.replace(cfg, backend=bcfg)
 
     def step(state: PipelineState, inputs: FrameInputs):
         fe_state, packet = frontend_step(state.frontend, inputs, intr, cfg.frontend)

@@ -225,6 +225,66 @@ def se3_log(T):
     return jnp.concatenate([w, v], axis=-1)
 
 
+def _se3_Q(xi):
+    """Barfoot's Q(xi) block of the SE(3) left Jacobian (State Estimation for
+    Robotics, eq. 7.86). xi = [w, v] (..., 6) -> (..., 3, 3)."""
+    w, v = xi[..., :3], xi[..., 3:]
+    theta2 = jnp.sum(w * w, axis=-1)
+    is_small, safe_theta2 = _taylor_safe(theta2)
+    theta = jnp.sqrt(safe_theta2)
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    t3 = safe_theta2 * theta
+    t4 = safe_theta2 * safe_theta2
+    t5 = t4 * theta
+
+    c1 = jnp.where(is_small, 1.0 / 6.0 - theta2 / 120.0, (theta - s) / t3)
+    c2 = jnp.where(
+        is_small, 1.0 / 24.0 - theta2 / 720.0, -(1.0 - theta2 / 2.0 - c) / t4
+    )
+    c3 = 0.5 * (
+        c2
+        - 3.0
+        * jnp.where(
+            is_small,
+            -1.0 / 120.0 + theta2 / 5040.0,
+            (theta - s - t3 / 6.0) / t5,
+        )
+    )
+
+    W = hat(w)
+    V = hat(v)
+    WV, VW = mm(W, V), mm(V, W)
+    WVW = mm(WV, W)
+    W2 = mm(W, W)
+    c1t = c1[..., None, None]
+    c2t = c2[..., None, None]
+    c3t = c3[..., None, None]
+    return (
+        0.5 * V
+        + c1t * (WV + VW + WVW)
+        + c2t * (mm(W2, V) + mm(V, W2) - 3.0 * WVW)
+        + c3t * (mm(WVW, W) + mm(W, WVW))
+    )
+
+
+def se3_left_jacobian_inv(xi):
+    """Exact inverse left Jacobian of SE(3). (..., 6) -> (..., 6, 6),
+    tangent order [w, v]."""
+    w = xi[..., :3]
+    Jw_inv = so3_left_jacobian_inv(w)
+    Q = _se3_Q(xi)
+    bl = -mm(mm(Jw_inv, Q), Jw_inv)
+    zeros = jnp.zeros_like(Jw_inv)
+    top = jnp.concatenate([Jw_inv, zeros], axis=-1)
+    bottom = jnp.concatenate([bl, Jw_inv], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_right_jacobian_inv(xi):
+    """Exact inverse right Jacobian of SE(3): Jr^{-1}(xi) = Jl^{-1}(-xi)."""
+    return se3_left_jacobian_inv(-xi)
+
+
 def adjoint(T):
     """Adjoint of SE(3): (..., 4, 4) -> (..., 6, 6), tangent order [omega, v]."""
     R = T[..., :3, :3]

@@ -1,0 +1,117 @@
+"""End-to-end pipeline test: dense synthetic scene -> frontend -> backend ->
+logs -> metrics. The full-system regression (reference: eval_launch round
+trip, SURVEY.md §3.5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dynosam_tpu.config import (
+    BackendParams,
+    DynoConfig,
+    FrontendParams,
+    OptimizerParams,
+    TrackerParams,
+)
+from dynosam_tpu.dataproviders.synthetic_dense import default_dense_scenario
+from dynosam_tpu.eval import metrics
+from dynosam_tpu.pipeline.pipeline import DynoPipeline
+from dynosam_tpu.utils.stats import Statistics
+
+
+@pytest.fixture(scope="module")
+def result(tmp_path_factory):
+    Statistics.reset()
+    dense = default_dense_scenario(num_frames=8)
+    cfg = DynoConfig(
+        frontend=FrontendParams(
+            max_objects=4,
+            tracker=TrackerParams(
+                max_features_per_frame=256,
+                min_features_per_frame=100,
+                max_dynamic_features_per_frame=256,
+                detection_cell_size=8,
+                min_corner_response=1e-6,
+            ),
+        ),
+        backend=BackendParams(
+            optimization_mode=1,
+            max_frames=8,
+            max_objects=4,
+            max_static_landmarks=256,
+            max_dynamic_landmarks=256,
+            optimizer=OptimizerParams(max_iterations=8),
+        ),
+    )
+    out_dir = str(tmp_path_factory.mktemp("run"))
+    pipe = DynoPipeline(cfg, dense.intr, output_path=out_dir, module_name="wcme")
+    gts = [dense.scn.ground_truth(k, max_objects=4) for k in range(8)]
+    pipe.run([dense.frame(k) for k in range(8)], gts)
+    return pipe, dense, out_dir
+
+
+class TestPipeline:
+    def test_trajectory_accuracy(self, result):
+        pipe, dense, _ = result
+        est = np.stack(pipe.trajectory)
+        gt = np.stack([np.asarray(dense.scn.X_gt[k]) for k in range(8)])
+        r = metrics.ate(est, gt, align=False)
+        assert r.trans_rmse < 0.05, r.trans_rmse
+        assert r.rot_rmse < 0.01, r.rot_rmse
+
+    def test_object_motion_accuracy(self, result):
+        pipe, dense, _ = result
+        # collect backend motions for object 1 over frames 2..7
+        H_est, H_gt = [], []
+        for k in range(3, 8):
+            H = pipe.backend.motion_at(k, object_id=1)
+            if H is None:
+                continue
+            H_est.append(H)
+            H_gt.append(np.asarray(dense.scn.H_gt[0][k]))
+        assert len(H_est) >= 3
+        r = metrics.ame(np.stack(H_est), np.stack(H_gt))
+        assert r.trans_rmse < 0.15, r.trans_rmse
+
+    def test_logs_written(self, result):
+        _, _, out_dir = result
+        files = os.listdir(out_dir)
+        assert "wcme_camera_pose_log.csv" in files
+        assert "wcme_object_motion_log.csv" in files
+        cam = open(os.path.join(out_dir, "wcme_camera_pose_log.csv")).read().splitlines()
+        assert len(cam) == 9  # header + 8 frames
+        motion = open(
+            os.path.join(out_dir, "wcme_object_motion_log.csv")
+        ).read().splitlines()
+        assert len(motion) > 4
+
+    def test_stats_collected(self, result):
+        assert Statistics.get("pipeline.frontend").count >= 8
+        assert Statistics.get("pipeline.backend").count >= 8
+
+    def test_sequential_mode(self):
+        dense = default_dense_scenario(num_frames=3, width=80, height=64)
+        cfg = DynoConfig(
+            frontend=FrontendParams(
+                max_objects=2,
+                tracker=TrackerParams(
+                    max_features_per_frame=64,
+                    min_features_per_frame=16,
+                    max_dynamic_features_per_frame=64,
+                    detection_cell_size=8,
+                    min_corner_response=1e-7,
+                ),
+            ),
+            backend=BackendParams(
+                optimization_mode=2,
+                max_frames=4,
+                max_objects=2,
+                max_static_landmarks=64,
+                max_dynamic_landmarks=64,
+            ),
+        )
+        cfg.pipeline.parallel_run = False
+        pipe = DynoPipeline(cfg, dense.intr)
+        outs = pipe.run([dense.frame(k) for k in range(3)])
+        assert len(outs) == 3
