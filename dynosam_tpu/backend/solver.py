@@ -2,9 +2,8 @@
 
 TPU-native replacement for GTSAM's nonlinear optimizers as used by the
 reference backend (/root/reference/dynosam/src/backend/
-RegularBackendModule.cc:286-322: LM full-batch / sliding window / iSAM2):
-instead of symbolic factor graphs + sparse elimination orderings, the problem
-is laid out as dense fixed-capacity tables (graph.GraphState) and each LM
+RegularBackendModule.cc:286-322: LM full-batch / sliding window / iSAM2).
+The problem lives in dense fixed-capacity tables (graph.GraphState); each
 iteration does:
 
   1. closed-form batched linearisation of every factor type (factors.py),
@@ -12,17 +11,20 @@ iteration does:
        * static landmarks: per-landmark diagonal blocks (PTP point Jacobians
          are orthonormal, so Hpp = (sum w) I),
        * dynamic landmarks: per-tracklet *chains* m_{i,0..F-1} coupled by
-         motion-ternary factors -> per-tracklet (3F x 3F) block-tridiagonal
-         Hessians, eliminated with batched Cholesky (the dense analogue of
-         the reference's SmartMotionFactor Schur complement,
-         HybridEstimator.hpp:784),
+         motion-ternary factors -> block-tridiagonal Hessians eliminated with
+         a batched block-Thomas recursion (ops/block_tridiag.py) — the dense
+         analogue of the reference's SmartMotionFactor Schur complement
+         (HybridEstimator.hpp:784),
   3. dense Cholesky of the reduced (pose + object-motion) system,
   4. back-substitution of landmark updates,
-  5. Huber IRLS weighting and LM accept/reject on the true robust cost.
+  5. Huber IRLS weighting; LM accept/reject on the true robust cost (batch
+     mode) or plain damped GN (incremental mode).
 
-Everything is shape-static; the LM loop is a lax.scan; objects are a padded
-slot axis, so the per-object solves the reference parallelises with TBB
-(ParallelHybridBackendModule.cc:548) are rows of batched einsums here.
+TPU performance notes (measured on v5e): gathers, scatter-adds
+(segment_sum) and generic batched Cholesky are latency traps — every
+per-object reduction here is a one-hot matmul, object-indexed motion lookup
+is a one-hot contraction, and the chain solve never materialises a generic
+triangular factorisation.
 
 Tangent layout of the reduced system (D = 6F + 6JF):
   pose f      -> dx[6f : 6f+6]
@@ -39,6 +41,7 @@ import jax.numpy as jnp
 from dynosam_tpu.backend import factors
 from dynosam_tpu.backend.graph import GraphState
 from dynosam_tpu.config import BackendParams
+from dynosam_tpu.ops import block_tridiag as bt
 from dynosam_tpu.utils import lie
 
 _EPS_REG = 1e-5  # Tikhonov floor so padded/unconstrained variables stay SPD
@@ -58,13 +61,20 @@ def _irls_w(e, k, use_robust):
 class _Linearization(NamedTuple):
     S: jnp.ndarray        # (D, D) reduced Hessian (damped)
     rhs: jnp.ndarray      # (D,)
-    sw_s: jnp.ndarray     # (Ls,) static Hpp = sw * I
+    # static landmark backsub (Hpp = sw * I)
+    sw_s: jnp.ndarray     # (Ls,)
     g_s: jnp.ndarray      # (Ls, 3)
-    A_s: jnp.ndarray      # (F, Ls, 6, 3) pose-landmark cross blocks
-    P_chol: jnp.ndarray   # (Ld, 3F, 3F) chain Cholesky factors
-    g_d: jnp.ndarray      # (Ld, 3F)
-    Bx: jnp.ndarray       # (Ld, 6F, 3F) pose-chain cross
-    Bh: jnp.ndarray       # (Ld, 6F, 3F) motion-chain cross
+    A_s: jnp.ndarray      # (F, Ls, 6, 3)
+    # dynamic chain backsub (block-tridiagonal factorisation + cross blocks)
+    Pd: jnp.ndarray       # (Ld, F, 3, 3) chain diagonal blocks
+    Pu: jnp.ndarray       # (Ld, F, 3, 3) chain upper blocks (f, f+1)
+    Dp_inv: jnp.ndarray   # (Ld, F, 3, 3) Thomas factor
+    Wm: jnp.ndarray       # (Ld, F, 3, 3) Thomas factor
+    g_d: jnp.ndarray      # (Ld, F, 3)
+    Bx_blk: jnp.ndarray   # (Ld, F, 6, 3) pose-f x point-f
+    Bh_curr: jnp.ndarray  # (Ld, F, 6, 3) motion-f x point-f
+    Bh_prev: jnp.ndarray  # (Ld, F, 6, 3) motion-f x point-(f-1)
+    onehot: jnp.ndarray   # (Ld, J) object-slot one-hot (float)
 
 
 def _sigmas(cfg: BackendParams, dtype):
@@ -86,8 +96,21 @@ def _sigmas(cfg: BackendParams, dtype):
 
 
 # ---------------------------------------------------------------------------
-# Residual collections (shared by cost + linearisation)
+# Shared structure helpers
 # ---------------------------------------------------------------------------
+
+def _object_onehot(state: GraphState, dtype):
+    """(Ld, J) float one-hot of each tracklet's object slot (0 rows if none).
+
+    One-hot contractions replace both gathers (H[d_obj]) and segment_sums
+    (per-object reductions) — both are slow scatter/gather paths on TPU.
+    """
+    J = state.J
+    oh = (state.d_obj[:, None] == jnp.arange(J)[None, :]) & (
+        state.d_obj >= 0
+    )[:, None]
+    return oh.astype(dtype)
+
 
 def _static_residuals(state: GraphState):
     Xinv = lie.inverse(state.X)
@@ -105,22 +128,19 @@ def _dyn_ptp_residuals(state: GraphState):
     return y - state.d_z, y  # (Ld, F, 3)
 
 
-def _ternary_terms(state: GraphState):
-    j = jnp.clip(state.d_obj, 0, state.J - 1)
-    Hj = state.H[j]                                  # (Ld, F, 4, 4)
+def _ternary_terms(state: GraphState, onehot):
+    Hj = lie.einsum("lj,jfab->lfab", onehot, state.H)   # (Ld, F, 4, 4)
     m_prev = jnp.concatenate([state.md[:, :1], state.md[:, :-1]], axis=1)
     r = state.md - lie.transform_points(Hj, m_prev)
-    return r, m_prev, Hj                             # (Ld, F, 3), ...
+    return r, m_prev, Hj
 
 
-def _ternary_mask(state: GraphState):
+def _ternary_mask(state: GraphState, onehot):
     v = state.d_valid
     prev_v = jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
-    j = jnp.clip(state.d_obj, 0, state.J - 1)
-    Hv = state.H_valid[j]
-    has_obj = (state.d_obj >= 0)[:, None]
+    Hv = lie.einsum("lj,jf->lf", onehot, state.H_valid.astype(onehot.dtype)) > 0.5
     in_window = jnp.arange(state.F)[None, :] < state.num_frames
-    return v & prev_v & Hv & has_obj & in_window
+    return v & prev_v & Hv & in_window
 
 
 def _odom_mask(state: GraphState):
@@ -149,6 +169,7 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
     sig = _sigmas(cfg, dtype)
     k = cfg.noise.robust_k_huber
     use_rob = cfg.noise.use_robust_kernel
+    onehot = _object_onehot(state, dtype)
 
     def rho(e):
         return _huber_rho(e, k) if use_rob else 0.5 * e * e
@@ -164,9 +185,9 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
     e = jnp.linalg.norm(r_d, axis=-1) / sig["dyn_pt"]
     err += jnp.sum(jnp.where(state.d_valid & (state.d_obj >= 0)[:, None], rho(e), 0.0))
 
-    r_t, _, _ = _ternary_terms(state)
+    r_t, _, _ = _ternary_terms(state, onehot)
     e = jnp.linalg.norm(r_t, axis=-1) / sig["ternary"]
-    err += jnp.sum(jnp.where(_ternary_mask(state), rho(e), 0.0))
+    err += jnp.sum(jnp.where(_ternary_mask(state, onehot), rho(e), 0.0))
 
     if cfg.use_vo_factor:
         X_prev = jnp.concatenate([state.X[:1], state.X[:-1]], axis=0)
@@ -180,7 +201,6 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
         jnp.where(_smooth_mask(state, cfg)[:, :, None], 0.5 * r_sm * r_sm, 0.0)
     )
 
-    # gauge prior: once a marginal prior exists it carries the gauge instead
     gauge_on = (~state.prior_valid).astype(dtype)
     r_p = factors.prior_residual(state.X[0], state.X0_prior) / sig["prior0"]
     err += gauge_on * jnp.sum(0.5 * r_p * r_p)
@@ -192,27 +212,65 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Embedding helpers (one-hot einsums instead of scatter — XLA-friendly)
+# Embedding helpers (one-hot einsums instead of scatter)
 # ---------------------------------------------------------------------------
 
 def _block_diag_embed(blocks):
-    """(F, 6, 6) -> (6F, 6F) block-diagonal."""
-    F = blocks.shape[0]
+    """(..., F, 6, 6) -> (..., 6F, 6F) block-diagonal."""
+    F = blocks.shape[-3]
     eyeF = jnp.eye(F, dtype=blocks.dtype)
-    return lie.einsum("fab,fg->fagb", blocks, eyeF).reshape(6 * F, 6 * F)
+    out = lie.einsum("...fab,fg->...fagb", blocks, eyeF)
+    return out.reshape(out.shape[:-4] + (6 * F, 6 * F))
 
 
-def _embed_same_frame(blk, F):
-    """blk (Ld, F, A, B) -> (Ld, F, A, F, B) nonzero at [f, :, f, :]."""
-    eyeF = jnp.eye(F, dtype=blk.dtype)
-    return lie.einsum("lfab,fg->lfagb", blk, eyeF)
+def _shift_frame_down(x, axis):
+    """out[..., f, ...] = x[..., f-1, ...] along `axis` (zero at f=0)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 0)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis] - 1)
+    return jnp.pad(x[tuple(sl)], pad) if False else jnp.concatenate(
+        [jnp.zeros_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis)),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
 
 
-def _embed_prev_frame(blk, F):
-    """blk (Ld, F, A, B) placed at [f, :, f-1, :]: out[l,f,a,g,b], g=f-1."""
-    # E[g, f] = 1 iff g = f-1  <=>  superdiagonal of eye: eye(F, k=1)[g, f]
-    E = jnp.eye(F, k=1, dtype=blk.dtype)
-    return lie.einsum("lfab,gf->lfagb", blk, E)
+def _shift_frame_up(x, axis):
+    """out[..., f, ...] = x[..., f+1, ...] (zero at f=F-1)."""
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         jnp.zeros_like(jax.lax.slice_in_dim(x, 0, 1, axis=axis))],
+        axis=axis,
+    )
+
+
+def _chain_se3_blocks(r, J_A, J_B, w):
+    """Dense block matrix + gradient for a chain of binary SE(3) factors.
+
+    Factor f sits between slots f-1 and f of one 6F block (entry 0 must have
+    w = 0). Batched over leading dims. r: (..., F, 6), J_A/J_B: (..., F, 6, 6),
+    w: (..., F, 6) per-dim information. Returns (block (..., F,6,F,6),
+    g (..., F, 6))."""
+    JAw = jnp.swapaxes(J_A, -1, -2) * w[..., None, :]
+    JBw = jnp.swapaxes(J_B, -1, -2) * w[..., None, :]
+    Haa = lie.mm(JAw, J_A)      # at (f-1, f-1)
+    Hbb = lie.mm(JBw, J_B)      # at (f, f)
+    Hab = lie.mm(JAw, J_B)      # at (f-1, f)
+    ga = lie.einsum("...fab,...fb->...fa", JAw, r)   # at f-1
+    gb = lie.einsum("...fab,...fb->...fa", JBw, r)   # at f
+
+    F = r.shape[-2]
+    eyeF = jnp.eye(F, dtype=r.dtype)
+    E_prev = jnp.eye(F, k=1, dtype=r.dtype)          # E[g, f] = 1 iff g = f-1
+
+    diag = lie.einsum("...fab,fg->...fagb", Hbb, eyeF)
+    diag_prev = lie.einsum("...fab,gf,gh->...gahb", Haa, E_prev, eyeF)
+    off = lie.einsum("...fab,gf,fh->...gahb", Hab, E_prev, eyeF)
+    offT = jnp.swapaxes(jnp.swapaxes(off, -4, -2), -3, -1)
+    block = diag + diag_prev + off + offT
+    g = gb + lie.einsum("...fa,gf->...ga", ga, E_prev)
+    return block, g
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +284,7 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
     sig = _sigmas(cfg, dtype)
     k_rob = cfg.noise.robust_k_huber
     use_rob = cfg.noise.use_robust_kernel
+    onehot = _object_onehot(state, dtype)
 
     S = jnp.zeros((D, D), dtype)
     rhs = jnp.zeros((D,), dtype)
@@ -247,37 +306,37 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
         [hat_y, -jnp.broadcast_to(eye3, hat_y.shape)], axis=-1
     )                                                 # (F, Ls, 3, 6)
 
-    sw_s = jnp.sum(w_s, axis=0) + _EPS_REG + lam      # (Ls,)
-    g_s = lie.einsum("fab,flb,fl->la", R, r_s, w_s)   # (Ls, 3)
+    sw_s = jnp.sum(w_s, axis=0) + _EPS_REG + lam
+    g_s = lie.einsum("fab,flb,fl->la", R, r_s, w_s)
     A_s = lie.einsum("flba,fl,fbc->flac", Jx_s, w_s, Rt)  # (F, Ls, 6, 3)
 
     Hxx_s = lie.einsum("flab,fl,flac->fbc", Jx_s, w_s, Jx_s)
     gx_s = lie.einsum("flab,fl,fla->fb", Jx_s, w_s, r_s)
 
     inv_sw = 1.0 / sw_s
-    S_pp = lie.einsum("flab,l,glcb->fagc", A_s, inv_sw, A_s)  # (F,6,F,6)
+    S_pp = lie.einsum("flab,l,glcb->fagc", A_s, inv_sw, A_s)
     S = S.at[: 6 * F, : 6 * F].add(
         _block_diag_embed(Hxx_s) - S_pp.reshape(6 * F, 6 * F)
     )
-    rhs_stat = lie.einsum("flab,l,lb->fa", A_s, inv_sw, g_s)  # (F, 6)
+    rhs_stat = lie.einsum("flab,l,lb->fa", A_s, inv_sw, g_s)
     rhs = rhs.at[: 6 * F].add((-gx_s + rhs_stat).reshape(-1))
 
     # ================= dynamic landmark chains ===========================
-    r_d, y_d = _dyn_ptp_residuals(state)              # (Ld, F, 3)
-    has_obj = state.d_obj >= 0
+    r_d, y_d = _dyn_ptp_residuals(state)
+    has_obj_f = jnp.sum(onehot, axis=1)               # (Ld,) 1.0 if assigned
     e_d = jnp.linalg.norm(r_d, axis=-1) / sig["dyn_pt"]
-    w_d = (state.d_valid & has_obj[:, None]).astype(dtype) * _irls_w(
+    w_d = state.d_valid.astype(dtype) * has_obj_f[:, None] * _irls_w(
         e_d, k_rob, use_rob
     ) / (sig["dyn_pt"] ** 2)                          # (Ld, F)
 
-    r_t, m_prev, Hj = _ternary_terms(state)
-    mask_t = _ternary_mask(state)
+    r_t, m_prev, Hj = _ternary_terms(state, onehot)
+    mask_t = _ternary_mask(state, onehot)
     e_t = jnp.linalg.norm(r_t, axis=-1) / sig["ternary"]
     w_t = mask_t.astype(dtype) * _irls_w(e_t, k_rob, use_rob) / (
         sig["ternary"] ** 2
     )                                                 # (Ld, F)
 
-    RH = lie.rotation(Hj)                             # (Ld, F, 3, 3)
+    RH = lie.rotation(Hj)
     J_H = jnp.concatenate([lie.mm(RH, lie.hat(m_prev)), -RH], axis=-1)
 
     hat_yd = lie.hat(y_d)
@@ -285,38 +344,23 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
         [hat_yd, -jnp.broadcast_to(eye3, hat_yd.shape)], axis=-1
     )                                                 # (Ld, F, 3, 6)
 
-    # ---- chain Hessian P (Ld, F, 3, F, 3) -------------------------------
-    # diagonal scalars * I: PTP w_d, ternary J_curr at f (w_t), ternary
-    # J_prev at f-1 (w_t shifted), plus damping.
+    # ---- chain blocks (block-tridiagonal, never materialised densely) ----
     w_t_next = jnp.concatenate([w_t[:, 1:], jnp.zeros_like(w_t[:, :1])], axis=1)
-    diag_vals = w_d + w_t + w_t_next + _EPS_REG + lam           # (Ld, F)
-    eyeF = jnp.eye(F, dtype=dtype)
-    P = lie.einsum("lf,fg,ab->lfagb", diag_vals, eyeF, eye3)
-    # off-diagonal (f-1, f): J_prev^T W J_curr = -w_t RH^T
-    # block (f-1, f) of P is off = J_prev^T W J_curr = -w_t RH^T; the lower
-    # block (f, f-1) is off^T. _embed_prev_frame places blk[l, f] at
-    # (row f, col f-1), so embed off^T there and add its full transpose.
-    off = -jnp.swapaxes(RH, -1, -2) * w_t[..., None, None]      # (Ld, F, 3, 3)
-    lower = _embed_prev_frame(jnp.swapaxes(off, -1, -2), F)
-    P = P + lower + jnp.transpose(lower, (0, 3, 4, 1, 2))
+    diag_scalar = w_d + w_t + w_t_next + _EPS_REG + lam
+    Pd = diag_scalar[..., None, None] * eye3          # (Ld, F, 3, 3)
+    # block (f-1, f) = -w_t[f] RH[f]^T  =>  upper[f'] = block (f', f'+1)
+    off = -jnp.swapaxes(RH, -1, -2) * w_t[..., None, None]
+    Pu = jnp.concatenate([off[:, 1:], jnp.zeros_like(off[:, :1])], axis=1)
 
-    # ---- chain gradient (Ld, F, 3) --------------------------------------
     g_d = lie.einsum("fab,lfb,lf->lfa", R, r_d, w_d)
     g_ter_curr = r_t * w_t[..., None]
     g_ter_prev = -lie.einsum("lfba,lfb->lfa", RH, r_t * w_t[..., None])
-    g_d = g_d + g_ter_curr
-    g_d = g_d + jnp.concatenate(
-        [g_ter_prev[:, 1:], jnp.zeros_like(g_ter_prev[:, :1])], axis=1
-    )
+    g_d = g_d + g_ter_curr + _shift_frame_up(g_ter_prev, axis=1)
 
-    # ---- cross blocks -----------------------------------------------------
-    Bx_blk = lie.einsum("lfba,lf,fbc->lfac", Jx_d, w_d, Rt)     # (Ld,F,6,3)
-    Bx = _embed_same_frame(Bx_blk, F)                 # (Ld, F, 6, F, 3)
-
-    JHT = jnp.swapaxes(J_H, -1, -2)                   # (Ld, F, 6, 3)
+    Bx_blk = lie.einsum("lfba,lf,fbc->lfac", Jx_d, w_d, Rt)       # (Ld,F,6,3)
+    JHT = jnp.swapaxes(J_H, -1, -2)
     Bh_curr = JHT * w_t[..., None, None]
     Bh_prev = -lie.einsum("lfab,lfbc->lfac", JHT * w_t[..., None, None], RH)
-    Bh = _embed_same_frame(Bh_curr, F) + _embed_prev_frame(Bh_prev, F)
 
     # ---- direct reduced-system contributions ----------------------------
     Hxx_d = lie.einsum("lfab,lf,lfac->fbc", Jx_d, w_d, Jx_d)
@@ -324,79 +368,85 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
     S = S.at[: 6 * F, : 6 * F].add(_block_diag_embed(Hxx_d))
     rhs = rhs.at[: 6 * F].add(-gx_d.reshape(-1))
 
-    Hhh_blk = lie.einsum("lfab,lf,lfac->lfbc", J_H, w_t, J_H)
+    Hhh_blk = lie.einsum("lfab,lf,lfac->lfbc", J_H, w_t, J_H)     # (Ld,F,6,6)
     gh_blk = lie.einsum("lfab,lf,lfa->lfb", J_H, w_t, r_t)
-    seg = jnp.where(has_obj, state.d_obj, J)
-    Hhh = jax.ops.segment_sum(Hhh_blk, seg, num_segments=J + 1)[:J]
-    gh = jax.ops.segment_sum(gh_blk, seg, num_segments=J + 1)[:J]
+    Hhh = lie.einsum("lfbc,lj->jfbc", Hhh_blk, onehot)            # (J,F,6,6)
+    gh = lie.einsum("lfb,lj->jfb", gh_blk, onehot)
 
-    # ---- per-tracklet Schur ----------------------------------------------
-    Pf = P.reshape(Ld, 3 * F, 3 * F)
-    chol = jnp.linalg.cholesky(Pf)
-    Bx_f = Bx.reshape(Ld, 6 * F, 3 * F)
-    Bh_f = Bh.reshape(Ld, 6 * F, 3 * F)
-    g_df = g_d.reshape(Ld, 3 * F)
+    # ---- chain Schur via block-Thomas inverse ----------------------------
+    Dp_inv, Wm = bt.factorize(Pd, Pu)
+    Pinv = bt.full_inverse(Pd, Pu)                    # (Ld, F, 3, F, 3)
 
-    def chol_solve_mat(L, rhs_mat):
-        z = jax.scipy.linalg.solve_triangular(L, rhs_mat, lower=True)
-        return jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), z, lower=False
-        )
+    # pose-pose correction
+    T = lie.einsum("lfai,lfigj->lfagj", Bx_blk, Pinv)             # (Ld,F,6,F,3)
+    S_xx_corr = lie.einsum("lfagj,lgcj->fagc", T, Bx_blk)
+    # pose-motion correction (motion col g couples points g and g-1)
+    T_colprev = _shift_frame_down(T, axis=3)
+    Sxh = lie.einsum("lfagj,lgcj->lfagc", T, Bh_curr) + lie.einsum(
+        "lfagj,lgcj->lfagc", T_colprev, Bh_prev
+    )
+    S_xh_obj = lie.einsum("lfagc,lj->jfagc", Sxh, onehot)         # (J,F,6,F,6)
+    # motion-motion correction
+    Vc = lie.einsum("lfci,lfigj->lfcgj", Bh_curr, Pinv)
+    Pinv_rowprev = _shift_frame_down(Pinv, axis=1)
+    Vp = lie.einsum("lfci,lfigj->lfcgj", Bh_prev, Pinv_rowprev)
+    V = Vc + Vp
+    V_colprev = _shift_frame_down(V, axis=3)
+    Shh = lie.einsum("lfcgj,lgdj->lfcgd", V, Bh_curr) + lie.einsum(
+        "lfcgj,lgdj->lfcgd", V_colprev, Bh_prev
+    )
+    S_hh_obj = lie.einsum("lfcgd,lj->jfcgd", Shh, onehot)
 
-    PinvBxT = chol_solve_mat(chol, jnp.swapaxes(Bx_f, -1, -2))  # (Ld,3F,6F)
-    PinvBhT = chol_solve_mat(chol, jnp.swapaxes(Bh_f, -1, -2))
-    Pinv_g = chol_solve_mat(chol, g_df[..., None])[..., 0]      # (Ld,3F)
+    # rhs corrections
+    Pinv_g = lie.einsum("lfigj,lgj->lfi", Pinv, g_d)
+    rhs_x_corr = lie.einsum("lfai,lfi->fa", Bx_blk, Pinv_g)
+    Pg_prev = _shift_frame_down(Pinv_g, axis=1)
+    rhs_h_blk = lie.einsum("lfci,lfi->lfc", Bh_curr, Pinv_g) + lie.einsum(
+        "lfci,lfi->lfc", Bh_prev, Pg_prev
+    )
+    rhs_h_corr = lie.einsum("lfc,lj->jfc", rhs_h_blk, onehot)     # (J,F,6)
 
-    S_xx_corr = lie.einsum("lab,lbc->ac", Bx_f, PinvBxT)
-    S_xh_corr = lie.einsum("lab,lbc->lac", Bx_f, PinvBhT)
-    S_hh_corr = lie.einsum("lab,lbc->lac", Bh_f, PinvBhT)
-    S_xh_obj = jax.ops.segment_sum(S_xh_corr, seg, num_segments=J + 1)[:J]
-    S_hh_obj = jax.ops.segment_sum(S_hh_corr, seg, num_segments=J + 1)[:J]
+    S = S.at[: 6 * F, : 6 * F].add(-S_xx_corr.reshape(6 * F, 6 * F))
+    rhs = rhs.at[: 6 * F].add(rhs_x_corr.reshape(-1))
 
-    rhs_x_corr = lie.einsum("lab,lb->a", Bx_f, Pinv_g)
-    rhs_h_corr = jax.ops.segment_sum(
-        lie.einsum("lab,lb->la", Bh_f, Pinv_g), seg, num_segments=J + 1
-    )[:J]
+    # ================= smoothing between (per object, batched) ============
+    H_prev = jnp.concatenate([state.H[:, :1], state.H[:, :-1]], axis=1)
+    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), state.H.shape)
+    r_m = factors.between_residual(H_prev, state.H, eye4)         # (J, F, 6)
+    J_Am, J_Bm = factors.between_jacobians(H_prev, state.H, eye4, r=r_m)
+    w_m = _smooth_mask(state, cfg).astype(dtype)[..., None] / sig["smooth"] ** 2
+    sm_block, sm_g = _chain_se3_blocks(r_m, J_Am, J_Bm, w_m)      # (J,F,6,F,6)
 
-    S = S.at[: 6 * F, : 6 * F].add(-S_xx_corr)
-    rhs = rhs.at[: 6 * F].add(rhs_x_corr)
-
-    off0 = 6 * F
+    # assemble motion region: block-diagonal over objects
     n = 6 * F
-    Hhh_embed = jax.vmap(_block_diag_embed)(Hhh)                # (J, 6F, 6F)
-    diag_obj = Hhh_embed - S_hh_obj
-    cross_obj = -S_xh_obj                                       # (J, 6F, 6F)
-    # block-diagonal over objects in the motion-motion region
-    motion_block = lie.einsum("jab,jk->jakb", diag_obj, jnp.eye(J, dtype=dtype))
+    off0 = 6 * F
+    motion_diag = (
+        jax.vmap(_block_diag_embed)(Hhh)
+        - S_hh_obj.reshape(J, n, n)
+        + sm_block.reshape(J, n, n)
+    )
+    motion_block = lie.einsum("jab,jk->jakb", motion_diag, jnp.eye(J, dtype=dtype))
     S = S.at[off0:, off0:].add(motion_block.reshape(J * n, J * n))
-    cross_flat = jnp.swapaxes(cross_obj, 0, 1).reshape(n, J * n)
+    cross_flat = jnp.swapaxes(-S_xh_obj.reshape(J, n, n), 0, 1).reshape(n, J * n)
     S = S.at[:n, off0:].add(cross_flat)
     S = S.at[off0:, :n].add(cross_flat.T)
-    rhs = rhs.at[off0:].add((-gh.reshape(J, n) + rhs_h_corr).reshape(-1))
+    rhs = rhs.at[off0:].add(
+        ((-gh - sm_g).reshape(J, n) + rhs_h_corr.reshape(J, n)).reshape(-1)
+    )
 
     # ================= odometry between ==================================
     if cfg.use_vo_factor:
         X_prev = jnp.concatenate([state.X[:1], state.X[:-1]], axis=0)
         r_o = factors.between_residual(X_prev, state.X, state.odom)
-        J_A, J_B = factors.between_jacobians(X_prev, state.X, state.odom)
+        J_A, J_B = factors.between_jacobians(X_prev, state.X, state.odom, r=r_o)
         w_o = _odom_mask(state).astype(dtype)[:, None] / sig["odom"] ** 2
-        S, rhs = _add_chain_se3(S, rhs, r_o, J_A, J_B, w_o, base=0, F=F)
-
-    # ================= smoothing between (per object) ====================
-    H_prev = jnp.concatenate([state.H[:, :1], state.H[:, :-1]], axis=1)
-    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), state.H.shape)
-    r_m = factors.between_residual(H_prev, state.H, eye4)       # (J, F, 6)
-    J_Am, J_Bm = factors.between_jacobians(H_prev, state.H, eye4)
-    w_m = _smooth_mask(state, cfg).astype(dtype)[..., None] / sig["smooth"] ** 2
-    for j in range(J):
-        S, rhs = _add_chain_se3(
-            S, rhs, r_m[j], J_Am[j], J_Bm[j], w_m[j], base=off0 + j * n, F=F
-        )
+        od_block, od_g = _chain_se3_blocks(r_o, J_A, J_B, w_o)
+        S = S.at[: 6 * F, : 6 * F].add(od_block.reshape(6 * F, 6 * F))
+        rhs = rhs.at[: 6 * F].add(-od_g.reshape(-1))
 
     # ================= gauge prior on pose 0 =============================
-    # (disabled once a marginal prior carries the gauge)
     r_p = factors.prior_residual(state.X[0], state.X0_prior)
-    J_p = factors.prior_jacobian(state.X[0], state.X0_prior)
+    J_p = factors.prior_jacobian(state.X[0], state.X0_prior, r=r_p)
     w_p = (~state.prior_valid).astype(dtype) / sig["prior0"] ** 2
     S = S.at[:6, :6].add(w_p * lie.mm(jnp.swapaxes(J_p, -1, -2), J_p))
     rhs = rhs.at[:6].add(-w_p * (jnp.swapaxes(J_p, -1, -2) @ r_p))
@@ -408,54 +458,19 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
     S = S + pv * lie.mm(state.prior_L.T, state.prior_L)
     rhs = rhs - pv * (state.prior_L.T @ r_mp)
 
-    # padded-variable regularisation + LM damping
-    S = S + (_EPS_REG + lam) * jnp.eye(D, dtype=dtype)
+    # padded-variable regularisation + LM damping. The damping must be
+    # *relative* to the diagonal scale: information weights reach 1/sigma^2 ~
+    # 1e6 (ternary), so f32 cancellation in the Schur subtraction perturbs
+    # eigenvalues by ~|S| * 1e-7 — an absolute floor alone leaves S
+    # indefinite. Marquardt-style scaling restores SPD-ness.
+    diag = jnp.diag(S)
+    S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
 
     return _Linearization(
         S=S, rhs=rhs, sw_s=sw_s, g_s=g_s, A_s=A_s,
-        P_chol=chol, g_d=g_df, Bx=Bx_f, Bh=Bh_f,
+        Pd=Pd, Pu=Pu, Dp_inv=Dp_inv, Wm=Wm, g_d=g_d,
+        Bx_blk=Bx_blk, Bh_curr=Bh_curr, Bh_prev=Bh_prev, onehot=onehot,
     )
-
-
-def _add_chain_se3(S, rhs, r, J_A, J_B, w, base, F):
-    """Chain of binary SE(3) factors between consecutive slots of one block.
-
-    r: (F, 6) residual of factor f (between slots f-1 and f; entry 0 unused —
-    its weight must be 0). J_A/J_B: (F, 6, 6). w: (F, 6) per-dim information.
-    base: tangent offset of slot 0 of this chain within S.
-    """
-    dtype = r.dtype
-    n = 6 * F
-    JAw = jnp.swapaxes(J_A, -1, -2) * w[:, None, :]
-    JBw = jnp.swapaxes(J_B, -1, -2) * w[:, None, :]
-    Haa = lie.mm(JAw, J_A)      # (F,6,6) at (f-1, f-1)
-    Hbb = lie.mm(JBw, J_B)      # at (f, f)
-    Hab = lie.mm(JAw, J_B)      # at (f-1, f)
-    ga = lie.einsum("fab,fb->fa", JAw, r)
-    gb = lie.einsum("fab,fb->fa", JBw, r)
-
-    eyeF = jnp.eye(F, dtype=dtype)
-    E_prev = jnp.eye(F, k=1, dtype=dtype)  # E[g, f] = 1 iff g = f-1
-
-    # diagonal contributions
-    diag = lie.einsum("fab,fg->fagb", Hbb, eyeF)                 # (F,6,F,6)
-    diag_prev = lie.einsum("fab,gf,gh->gahb", Haa, E_prev, eyeF)  # Haa at (f-1,f-1)
-    # off-diagonal (f-1, f)
-    off = lie.einsum("fab,gf,fh->gahb", Hab, E_prev, eyeF)
-    block = diag + diag_prev + off + jnp.swapaxes(jnp.swapaxes(off, 0, 2), 1, 3)
-    block = block.reshape(n, n)
-
-    g = jnp.zeros((F, 6), dtype)
-    g = g + gb
-    g = g + lie.einsum("fa,gf->ga", ga, E_prev)                  # ga at slot f-1
-
-    S = jax.lax.dynamic_update_slice(
-        S, jax.lax.dynamic_slice(S, (base, base), (n, n)) + block, (base, base)
-    )
-    rhs = jax.lax.dynamic_update_slice(
-        rhs, jax.lax.dynamic_slice(rhs, (base,), (n,)) - g.reshape(-1), (base,)
-    )
-    return S, rhs
 
 
 # ---------------------------------------------------------------------------
@@ -474,38 +489,41 @@ def _apply_update(state: GraphState, lin: _Linearization, dx):
     dms = (-lin.g_s - At_dx) / lin.sw_s[:, None]
     ms_new = state.ms + dms
 
-    j_idx = jnp.clip(state.d_obj, 0, J - 1)
-    dh_per_tracklet = dH[j_idx].reshape(state.Ld, 6 * F)
-    rhs_d = (
-        -lin.g_d
-        - lie.einsum("lba,b->la", lin.Bx, dx[: 6 * F])
-        - lie.einsum("lba,lb->la", lin.Bh, dh_per_tracklet)
+    # chain backsub: dp = P^{-1} (-g - Bx^T dx - Bh^T dh)
+    dh_l = lie.einsum("lj,jfc->lfc", lin.onehot, dH)              # (Ld, F, 6)
+    bx_term = lie.einsum("lfai,fa->lfi", lin.Bx_blk, dX)
+    bh_term = lie.einsum("lfai,lfa->lfi", lin.Bh_curr, dh_l)
+    # Bh_prev couples motion f to point f-1: point p receives from motion p+1
+    bh_prev_term = _shift_frame_up(
+        lie.einsum("lfai,lfa->lfi", lin.Bh_prev, dh_l), axis=1
     )
-
-    z = jax.scipy.linalg.solve_triangular(lin.P_chol, rhs_d[..., None], lower=True)
-    dmd = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(lin.P_chol, -1, -2), z, lower=False
-    )[..., 0].reshape(state.Ld, F, 3)
+    rhs_blk = -(lin.g_d + bx_term + bh_term + bh_prev_term)
+    dmd = bt.solve_factored(lin.Dp_inv, lin.Wm, lin.Pu, rhs_blk[..., None])[..., 0]
     md_new = state.md + dmd
 
     return state.replace(X=X_new, H=H_new, ms=ms_new, md=md_new)
 
 
 def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
-    """LM to (approximate) convergence. Jittable, shape-static."""
+    """LM (or warm-started damped GN) to approximate convergence. Jittable."""
     op = cfg.optimizer
 
+    def solve_dx(lin):
+        L = jnp.linalg.cholesky(lin.S)
+        z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
     if not op.accept_reject:
-        # plain damped GN (iSAM2-style non-backtracking updates): no robust
-        # cost evaluation per iteration — roughly halves the per-frame cost.
+        # plain damped GN (iSAM2-style non-backtracking updates)
         lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
 
         def gn_step(st, _):
             lin = linearize(st, cfg, lam)
-            L = jnp.linalg.cholesky(lin.S)
-            z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
-            dx = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
-            return _apply_update(st, lin, dx), None
+            cand = _apply_update(st, lin, solve_dx(lin))
+            # guard: reject non-finite steps (no cost evaluation needed)
+            ok = jnp.isfinite(cand.X).all() & jnp.isfinite(cand.H).all()
+            st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
+            return st, None
 
         state, _ = jax.lax.scan(gn_step, state, None, length=op.max_iterations)
         return state
@@ -513,10 +531,7 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     def step(carry, _):
         st, lam, err = carry
         lin = linearize(st, cfg, lam)
-        L = jnp.linalg.cholesky(lin.S)
-        z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
-        dx = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
-        cand = _apply_update(st, lin, dx)
+        cand = _apply_update(st, lin, solve_dx(lin))
         new_err = total_error(cand, cfg)
         accept = (new_err < err) & jnp.isfinite(new_err)
         st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, st)
