@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dynosam_tpu.backend import graph, solver, window
+from dynosam_tpu.backend import graph, hybrid, solver, window
 from dynosam_tpu.backend.graph import GraphState
 from dynosam_tpu.config import BackendParams, OptimizerParams
 from dynosam_tpu.cv import camera as cam
@@ -71,13 +71,27 @@ class RegularBackend:
             )
         self._opt_cfg = mode_cfg
 
+        # Formulation dispatch (backend_updater_enum, RegularBackendModule
+        # parity): 0 = WCME (MotionInWorld), 3 = hybrid (object-centric
+        # keyframed — the reference's ParallelHybrid, objects batched).
+        self.hybrid = cfg.backend_updater_enum == 3
+        if self.hybrid:
+            update_fn = graph.update_from_packet_hybrid
+            optimize_fn = hybrid.optimize
+            advance_fn = window.advance_hybrid
+        else:
+            update_fn = graph.update_from_packet
+            optimize_fn = solver.optimize
+            advance_fn = window.advance
+
         self._jit_update = jax.jit(
-            lambda st, pkt: graph.update_from_packet(st, pkt, intr, cfg)
+            lambda st, pkt: update_fn(st, pkt, intr, cfg)
         )
         self._jit_optimize = jax.jit(
-            lambda st: solver.optimize(st, self._opt_cfg)
+            lambda st: optimize_fn(st, self._opt_cfg)
         )
-        self._jit_advance = jax.jit(lambda st: window.advance(st, cfg))
+        self._jit_advance = jax.jit(lambda st: advance_fn(st, cfg))
+        self._jit_outputs = jax.jit(self._device_outputs)
 
     # ------------------------------------------------------------------
     def step(self, packet: VisionPacket, optimize: Optional[bool] = None) -> BackendOutput:
@@ -105,34 +119,65 @@ class RegularBackend:
         self.state = self._jit_optimize(self.state)
 
     # ------------------------------------------------------------------
+    def _device_outputs(self, st):
+        """Jitted accessor: canonical outputs from the graph state."""
+        f = jnp.clip(st.num_frames - 1, 0, st.F - 1)
+        if self.hybrid:
+            H_out = hybrid.f2f_motion(st, f)          # F2F for output parity
+            md_world = lie.transform_points(
+                hybrid.object_pose(st, f)[
+                    jnp.clip(st.d_obj, 0, st.J - 1)
+                ],
+                st.m_hyb,
+            )
+            obj_pose = hybrid.object_pose(st, f)
+        else:
+            H_out = st.H[:, f]
+            md_world = st.md[:, f]
+            obj_pose = jnp.broadcast_to(jnp.eye(4, dtype=st.X.dtype), (st.J, 4, 4))
+        return dict(
+            X=st.X[f],
+            H=H_out,
+            H_valid=st.H_valid[:, f],
+            md_world=md_world,
+            obj_pose=obj_pose,
+        )
+
     def _extract_output(self, packet: VisionPacket) -> BackendOutput:
         st = self.state
-        f = int(st.num_frames) - 1
-        X = np.asarray(st.X[f])
+        dev = jax.tree.map(np.asarray, self._jit_outputs(st))
+        X = dev["X"]
         obj_ids = np.asarray(st.obj_ids)
-        H = np.asarray(st.H[:, f])
-        H_valid = np.asarray(st.H_valid[:, f])
+        H = dev["H"]
+        H_valid = dev["H_valid"]
+        f = int(st.num_frames) - 1
 
-        # propagate object poses: L_k = H_k * L_{k-1}; initialise at first
-        # sight from the object's point centroid (reference
-        # propogateObjectPoses, FrontendModule MotionSolver.cc:580-590).
         d_obj = np.asarray(st.d_obj)
         d_valid = np.asarray(st.d_valid[:, f])
-        md = np.asarray(st.md[:, f])
-        obj_poses = np.tile(np.eye(4, dtype=X.dtype), (len(obj_ids), 1, 1))
-        for j, oid in enumerate(obj_ids):
-            oid = int(oid)
-            if oid <= 0:
-                continue
-            if oid in self.object_poses and H_valid[j]:
-                self.object_poses[oid] = H[j] @ self.object_poses[oid]
-            elif oid not in self.object_poses:
-                pts = md[(d_obj == j) & d_valid]
-                centroid = pts.mean(axis=0) if len(pts) else np.zeros(3)
-                L0 = np.eye(4, dtype=X.dtype)
-                L0[:3, 3] = centroid
-                self.object_poses[oid] = L0
-            obj_poses[j] = self.object_poses[oid]
+        md = dev["md_world"]
+        if self.hybrid:
+            # hybrid: object poses are direct state L_k = H_{e,k} L_e
+            obj_poses = dev["obj_pose"]
+            for j, oid in enumerate(obj_ids):
+                if int(oid) > 0:
+                    self.object_poses[int(oid)] = obj_poses[j]
+        else:
+            # WCME: propagate L_k = H_k * L_{k-1}, centroid-initialised
+            # (reference propogateObjectPoses, MotionSolver.cc:580-590).
+            obj_poses = np.tile(np.eye(4, dtype=X.dtype), (len(obj_ids), 1, 1))
+            for j, oid in enumerate(obj_ids):
+                oid = int(oid)
+                if oid <= 0:
+                    continue
+                if oid in self.object_poses and H_valid[j]:
+                    self.object_poses[oid] = H[j] @ self.object_poses[oid]
+                elif oid not in self.object_poses:
+                    pts = md[(d_obj == j) & d_valid]
+                    centroid = pts.mean(axis=0) if len(pts) else np.zeros(3)
+                    L0 = np.eye(4, dtype=X.dtype)
+                    L0[:3, 3] = centroid
+                    self.object_poses[oid] = L0
+                obj_poses[j] = self.object_poses[oid]
 
         s_valid = np.asarray(st.s_valid).any(axis=0)
         d_oid = np.full(st.Ld, -1, np.int32)
@@ -174,4 +219,6 @@ class RegularBackend:
         j = int(js[0])
         if not bool(self.state.H_valid[j, f]):
             return None
+        if self.hybrid:
+            return np.asarray(hybrid.f2f_motion(self.state, f)[j])
         return np.asarray(self.state.H[j, f])

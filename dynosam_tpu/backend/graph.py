@@ -55,6 +55,14 @@ class GraphState:
     odom: jnp.ndarray        # (F, 4, 4) measured T_{k-1,k} (slot f-1 -> f)
     odom_valid: jnp.ndarray  # (F,) bool
     X0_prior: jnp.ndarray    # (4, 4) gauge prior on the oldest pose slot
+    # ---- hybrid (object-centric keyframed) formulation fields ----------
+    # (RA-L 2025 HybridFormulation, HybridEstimator.hpp:1154-1177: points
+    # anchored in a per-object embedded keyframe L_e; H becomes ^W_eH_k.)
+    m_hyb: jnp.ndarray       # (Ld, 3) point in the embedded object frame
+    L_e: jnp.ndarray         # (J, 4, 4) embedded object frames (constants)
+    kf_valid: jnp.ndarray    # (J,) bool — object slot has an anchor
+    kf_slot: jnp.ndarray     # (J,) int32 window slot of the keyframe
+                             # (-1 once it slides out; H_{e,e}=I is fixed)
     # Linear(ised) marginal prior from slid-out frames: 0.5|L(dx) + b|^2 on
     # the stacked tangent of [poses, motions] (see solver.marginalize).
     prior_L: jnp.ndarray     # (D, D) sqrt-information (D = 6F + 6JF)
@@ -110,6 +118,10 @@ def empty_graph(cfg: BackendParams, dtype=jnp.float32) -> GraphState:
         odom=jnp.broadcast_to(eye, (F, 4, 4)),
         odom_valid=jnp.zeros((F,), bool),
         X0_prior=eye,
+        m_hyb=jnp.zeros((Ld, 3), dtype),
+        L_e=jnp.broadcast_to(eye, (J, 4, 4)),
+        kf_valid=jnp.zeros((J,), bool),
+        kf_slot=jnp.full((J,), -1, jnp.int32),
         prior_L=jnp.zeros((D, D), dtype),
         prior_b=jnp.zeros((D,), dtype),
         prior_lin_X=jnp.broadcast_to(eye, (F, 4, 4)),
@@ -267,4 +279,106 @@ def update_from_packet(
         odom=odom,
         odom_valid=odom_valid,
         X0_prior=X0_prior,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid (object-centric keyframed) ingestion — RA-L 2025 formulation
+# ---------------------------------------------------------------------------
+
+def update_from_packet_hybrid(
+    state: GraphState,
+    packet: VisionPacket,
+    intr: cam.CameraIntrinsics,
+    cfg: BackendParams,
+) -> GraphState:
+    """Ingest a packet under the hybrid formulation.
+
+    Reinterprets `H[j, f]` as the keyframed world-frame motion ^W_eH_f
+    (HybridEstimator.hpp:1154-1177) and maintains the embedded object frames
+    L_e + per-tracklet object-frame points m_hyb:
+      * a newly seen object is anchored at this frame: L_e = [I | centroid],
+        H_{e, f} = I (fixed — kf_slot marks it, no motion variable there);
+      * existing objects initialise H_{e,f} = H_f2f(packet) * H_{e,f-1};
+      * a tracklet's first observation initialises
+        m_L = L_e^{-1} H_{e,f}^{-1} m_f^W.
+    """
+    f = state.num_frames  # slot to be filled by the base ingestion
+    prev_obj_ids = state.obj_ids
+    base = update_from_packet(state, packet, intr, cfg)
+    dtype = base.X.dtype
+    J, Ld, F = base.J, base.Ld, base.F
+
+    newly = (prev_obj_ids < 0) & (base.obj_ids > 0)
+    existed = (prev_obj_ids > 0) & (base.obj_ids > 0)
+
+    # ---- world points of this frame's dynamic observations ---------------
+    dt = packet.dynamic_tracks
+    d_obs_valid = base.d_valid[:, f]
+    zd_local = cam.backproject(dt.uv, dt.depth, intr).astype(dtype)
+    zd_world = lie.transform_points(base.X[f], zd_local)
+
+    onehot = (
+        (base.d_obj[:, None] == jnp.arange(J)[None, :]) & d_obs_valid[:, None]
+    ).astype(dtype)                                         # (Ld, J)
+    counts = jnp.sum(onehot, axis=0)                        # (J,)
+    centroid = lie.einsum("lj,lc->jc", onehot, zd_world) / jnp.clip(
+        counts[:, None], 1.0, None
+    )
+
+    # ---- anchor new objects ----------------------------------------------
+    L_e_new = lie.make_pose(jnp.eye(3, dtype=dtype), centroid)
+    anchor = newly & (counts > 0)
+    L_e = jnp.where(anchor[:, None, None], L_e_new, state.L_e)
+    kf_valid = state.kf_valid | anchor
+    kf_slot = jnp.where(anchor, f, state.kf_slot)
+
+    # ---- keyframed motion init --------------------------------------------
+    # scatter packet F2F motions into slots (match by id)
+    eq = base.obj_ids[:, None] == packet.object_ids[None, :]       # (J, Jp)
+    pkt_ok = packet.object_valid & (packet.object_ids > 0)
+    hit = jnp.any(eq & pkt_ok[None, :], axis=1)
+    idx = jnp.argmax(eq & pkt_ok[None, :], axis=1)
+    H_f2f = jnp.where(
+        (hit & existed)[:, None, None],
+        packet.object_motions[idx].astype(dtype),
+        jnp.broadcast_to(jnp.eye(4, dtype=dtype), (J, 4, 4)),
+    )
+    H_prev = base.H[:, jnp.maximum(f - 1, 0)]
+    H_init = jnp.where(
+        (existed & (f > 0))[:, None, None],
+        lie.compose(H_f2f, H_prev),
+        jnp.broadcast_to(jnp.eye(4, dtype=dtype), (J, 4, 4)),
+    )
+    H = base.H.at[:, f].set(H_init)
+
+    # H variable exists where the object has enough obs this frame and this
+    # frame is not its keyframe (H_{e,e} = I is a constant).
+    min_obs = max(cfg.min_dynamic_observations, 1)
+    H_valid_col = (
+        (counts >= min_obs)
+        & (base.obj_ids > 0)
+        & kf_valid
+        & (kf_slot != f)
+    )
+    H_valid = base.H_valid.at[:, f].set(H_valid_col)
+
+    # ---- object-frame point init for first observations -------------------
+    first_obs = d_obs_valid & (
+        (dt.tracklet_id != state.d_tid) | ~jnp.any(state.d_valid, axis=1)
+    )
+    Hj = lie.einsum("lj,jab->lab", onehot, H_init)          # (Ld, 4, 4)
+    Lj = lie.einsum("lj,jab->lab", onehot, L_e)
+    # guard unassigned rows (zero matrices) before inversion
+    eye4 = jnp.eye(4, dtype=dtype)
+    assigned = jnp.sum(onehot, axis=1) > 0.5
+    Hj = jnp.where(assigned[:, None, None], Hj, eye4)
+    Lj = jnp.where(assigned[:, None, None], Lj, eye4)
+    m_e_world = lie.transform_points(lie.inverse(Hj), zd_world)
+    m_L_init = lie.transform_points(lie.inverse(Lj), m_e_world)
+    m_hyb = jnp.where((first_obs & assigned)[:, None], m_L_init, state.m_hyb)
+
+    return base.replace(
+        H=H, H_valid=H_valid, m_hyb=m_hyb, L_e=L_e,
+        kf_valid=kf_valid, kf_slot=kf_slot,
     )

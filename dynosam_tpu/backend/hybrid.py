@@ -1,0 +1,470 @@
+"""Object-centric keyframed ("Hybrid") formulation — RA-L 2025 parity.
+
+Reimplements the reference's HybridFormulation / ParallelHybrid backend
+(/root/reference/dynosam/include/dynosam/backend/rgbd/HybridEstimator.hpp,
+factors/HybridFormulationFactors.hpp:42-122, ParallelHybridBackendModule.cc)
+TPU-natively:
+
+  * each object j carries a constant embedded keyframe pose L_e and keyframed
+    world-frame motions ^W_eH_k (variables; H_{e,e} = I fixed);
+  * each dynamic tracklet is ONE 3-dof point m_L in the embedded frame;
+    every observation factor couples (X_k, ^W_eH_k, m_L) with residual
+        r = X_k^{-1} ^W_eH_k L_e m_L - Z_k      (projectToCamera3 form);
+  * point elimination is therefore a per-tracklet 3x3 *diagonal* Schur
+    complement (the reference's SmartMotionFactor math,
+    HybridEstimator.hpp:784) — no motion-ternary chains, which both matches
+    the reference's "recommended for speed" mode and removes the
+    block-tridiagonal solve from the hot path;
+  * constant-motion smoothing becomes a *ternary* factor over consecutive
+    keyframed motions: r = log(F2F_{k-1}^{-1} F2F_k) with
+    F2F_k = H_{e,k} H_{e,k-1}^{-1}, closed-form Jacobians via exact SE(3)
+    inverse left/right Jacobians (verified vs autodiff in tests);
+  * the reference's per-object TBB parallelism (tbb::parallel_for_each,
+    ParallelHybridBackendModule.cc:548) is a padded object axis in batched
+    einsums, and the camera is solved jointly (strictly more information
+    than the reference's decoupled static smoother).
+
+F2F motions for output/eval: H_f2f(k) = H_{e,k} H_{e,k-1}^{-1}; object pose
+L_k = H_{e,k} L_e.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dynosam_tpu.backend import factors
+from dynosam_tpu.backend.graph import GraphState
+from dynosam_tpu.backend.solver import (
+    _EPS_REG,
+    _block_diag_embed,
+    _chain_se3_blocks,
+    _huber_rho,
+    _irls_w,
+    _object_onehot,
+    _odom_mask,
+    _prior_dx,
+    _sigmas,
+    _static_gate,
+    _static_residuals,
+)
+from dynosam_tpu.config import BackendParams
+from dynosam_tpu.utils import lie
+
+
+class _HybridLin(NamedTuple):
+    S: jnp.ndarray
+    rhs: jnp.ndarray
+    sw_s: jnp.ndarray
+    g_s: jnp.ndarray
+    A_s: jnp.ndarray      # (F, Ls, 6, 3) static cross blocks
+    sw_d: jnp.ndarray     # (Ld,) hybrid point Hpp = sw * I
+    g_d: jnp.ndarray      # (Ld, 3)
+    Ax_d: jnp.ndarray     # (Ld, F, 6, 3) pose cross blocks
+    Ah_d: jnp.ndarray     # (Ld, F, 6, 3) motion cross blocks
+    onehot: jnp.ndarray   # (Ld, J)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid observation terms
+# ---------------------------------------------------------------------------
+
+def _hybrid_obs_terms(state: GraphState, onehot):
+    """Per-(tracklet, frame) residuals + frames of reference.
+
+    Returns (r (Ld,F,3), y (Ld,F,3) camera-frame predictions,
+    q (Ld,3) world point at the keyframe, RH (Ld,F,3,3))."""
+    Lj = lie.einsum("lj,jab->lab", onehot, state.L_e)        # (Ld,4,4)
+    assigned = jnp.sum(onehot, axis=1) > 0.5
+    eye4 = jnp.eye(4, dtype=state.X.dtype)
+    Lj = jnp.where(assigned[:, None, None], Lj, eye4)
+    q = lie.transform_points(Lj, state.m_hyb)                # (Ld, 3) world@kf
+    Hj = lie.einsum("lj,jfab->lfab", onehot, state.H)        # (Ld,F,4,4)
+    Hj = jnp.where(assigned[:, None, None, None], Hj, eye4)
+    m_w = lie.transform_points(Hj, q[:, None, :])            # (Ld, F, 3)
+    Xinv = lie.inverse(state.X)                              # (F,4,4)
+    y = lie.transform_points(Xinv[None], m_w)
+    r = y - state.d_z
+    return r, y, q, lie.rotation(Hj)
+
+
+def _obs_mask(state: GraphState, onehot):
+    assigned = jnp.sum(onehot, axis=1) > 0.5
+    kf_ok = lie.einsum(
+        "lj,j->l", onehot, state.kf_valid.astype(onehot.dtype)
+    ) > 0.5
+    in_window = jnp.arange(state.F)[None, :] < state.num_frames
+    # the motion state at (j, f) must either be a free variable or the
+    # keyframe identity — observations at frames before the keyframe (or at
+    # frames whose motion was gated out) have no consistent motion model.
+    kf = lie.einsum("lj,j->l", onehot, state.kf_slot.astype(onehot.dtype))
+    at_kf = jnp.arange(state.F)[None, :] == kf[:, None].astype(jnp.int32)
+    h_ok = _h_is_variable(state, onehot) | at_kf
+    return state.d_valid & assigned[:, None] & kf_ok[:, None] & in_window & h_ok
+
+
+def _h_is_variable(state: GraphState, onehot):
+    """(Ld, F) — the motion at (tracklet's object, f) is a free variable."""
+    Hv = lie.einsum("lj,jf->lf", onehot, state.H_valid.astype(onehot.dtype)) > 0.5
+    kf = lie.einsum("lj,j->l", onehot, state.kf_slot.astype(onehot.dtype))
+    not_kf = jnp.arange(state.F)[None, :] != kf[:, None].astype(jnp.int32)
+    return Hv & not_kf
+
+
+def _smooth_triple_mask(state: GraphState, cfg: BackendParams):
+    """(J, F) — ternary smoothing factor between slots (f-2, f-1, f)."""
+    if not cfg.use_smoothing_factor:
+        return jnp.zeros_like(state.H_valid)
+    Hv = state.H_valid
+    f = jnp.arange(state.F)[None, :]
+    exists_prev2 = jnp.concatenate(
+        [jnp.zeros_like(Hv[:, :2]), Hv[:, :-2]], axis=1
+    ) | (state.kf_slot[:, None] == f - 2) | (
+        (state.kf_slot[:, None] < 0) & (f >= 2)
+    )
+    valid_prev = jnp.concatenate([jnp.zeros_like(Hv[:, :1]), Hv[:, :-1]], axis=1)
+    return Hv & valid_prev & exists_prev2 & state.kf_valid[:, None]
+
+
+def _smooth_triple_terms(state: GraphState):
+    """Residual + closed-form Jacobians of the constant-motion ternary.
+
+    r_f = log(M), M = A B^{-1} C B^{-1} with A = H_{f-2}, B = H_{f-1},
+    C = H_f (keyframed motions of one object). Right-perturbation Jacobians:
+      J_A = Jl^{-1}(r) Ad(A),  J_C = Jr^{-1}(r) Ad(B),
+      J_B = -(J_A + J_C).
+    (A e^a = e^{Ad_A a} A gives the left-perturbed forms; both occurrences of
+    B contribute, one from the left, one from the right.)
+    """
+    H = state.H                                             # (J, F, 4, 4)
+    A = jnp.roll(H, 2, axis=1)
+    B = jnp.roll(H, 1, axis=1)
+    C = H
+    Binv = lie.inverse(B)
+    M = lie.mm(lie.mm(lie.mm(A, Binv), C), Binv)
+    r = lie.se3_log(M)                                      # (J, F, 6)
+    Jl_inv = lie.se3_left_jacobian_inv(r)
+    Jr_inv = lie.se3_left_jacobian_inv(-r)
+    J_A = lie.mm(Jl_inv, lie.adjoint(A))
+    J_C = lie.mm(Jr_inv, lie.adjoint(B))
+    J_B = -(J_A + J_C)
+    return r, J_A, J_B, J_C
+
+
+def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
+    dtype = state.X.dtype
+    sig = _sigmas(cfg, dtype)
+    k = cfg.noise.robust_k_huber
+    use_rob = cfg.noise.use_robust_kernel
+    onehot = _object_onehot(state, dtype)
+
+    def rho(e):
+        return _huber_rho(e, k) if use_rob else 0.5 * e * e
+
+    err = jnp.zeros((), dtype)
+
+    r_s, _ = _static_residuals(state)
+    gate = _static_gate(state, cfg)
+    e = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
+    err += jnp.sum(jnp.where(state.s_valid & gate[None, :], rho(e), 0.0))
+
+    r_h, _, _, _ = _hybrid_obs_terms(state, onehot)
+    mask = _obs_mask(state, onehot)
+    e = jnp.linalg.norm(r_h, axis=-1) / sig["dyn_pt"]
+    err += jnp.sum(jnp.where(mask, rho(e), 0.0))
+
+    r_sm, _, _, _ = _smooth_triple_terms(state)
+    sm_mask = _smooth_triple_mask(state, cfg)
+    err += jnp.sum(
+        jnp.where(
+            sm_mask[..., None], 0.5 * (r_sm / sig["smooth"]) ** 2, 0.0
+        )
+    )
+
+    if cfg.use_vo_factor:
+        X_prev = jnp.concatenate([state.X[:1], state.X[:-1]], axis=0)
+        r_o = factors.between_residual(X_prev, state.X, state.odom) / sig["odom"]
+        err += jnp.sum(jnp.where(_odom_mask(state)[:, None], 0.5 * r_o * r_o, 0.0))
+
+    gauge_on = (~state.prior_valid).astype(dtype)
+    r_p = factors.prior_residual(state.X[0], state.X0_prior) / sig["prior0"]
+    err += gauge_on * jnp.sum(0.5 * r_p * r_p)
+
+    dx_lin = _prior_dx(state)
+    r_mp = state.prior_b + state.prior_L @ dx_lin
+    err += jnp.where(state.prior_valid, jnp.sum(0.5 * r_mp * r_mp), 0.0)
+    return err
+
+
+# ---------------------------------------------------------------------------
+# Linearisation
+# ---------------------------------------------------------------------------
+
+def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
+    F, J, Ls, Ld = state.F, state.J, state.Ls, state.Ld
+    D = state.D
+    dtype = state.X.dtype
+    sig = _sigmas(cfg, dtype)
+    k_rob = cfg.noise.robust_k_huber
+    use_rob = cfg.noise.use_robust_kernel
+    onehot = _object_onehot(state, dtype)
+
+    S = jnp.zeros((D, D), dtype)
+    rhs = jnp.zeros((D,), dtype)
+
+    R = lie.rotation(state.X)
+    Rt = jnp.swapaxes(R, -1, -2)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    # ================= static landmarks (same as WCME) ====================
+    r_s, y_s = _static_residuals(state)
+    gate = _static_gate(state, cfg)
+    e_s = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
+    w_s = (state.s_valid & gate[None, :]).astype(dtype) * _irls_w(
+        e_s, k_rob, use_rob
+    ) / (sig["static_pt"] ** 2)
+
+    hat_y = lie.hat(y_s)
+    Jx_s = jnp.concatenate(
+        [hat_y, -jnp.broadcast_to(eye3, hat_y.shape)], axis=-1
+    )
+    sw_s = jnp.sum(w_s, axis=0) + _EPS_REG + lam
+    g_s = lie.einsum("fab,flb,fl->la", R, r_s, w_s)
+    A_s = lie.einsum("flba,fl,fbc->flac", Jx_s, w_s, Rt)
+    Hxx_s = lie.einsum("flab,fl,flac->fbc", Jx_s, w_s, Jx_s)
+    gx_s = lie.einsum("flab,fl,fla->fb", Jx_s, w_s, r_s)
+    inv_sw = 1.0 / sw_s
+    S_pp = lie.einsum("flab,l,glcb->fagc", A_s, inv_sw, A_s)
+    S = S.at[: 6 * F, : 6 * F].add(
+        _block_diag_embed(Hxx_s) - S_pp.reshape(6 * F, 6 * F)
+    )
+    rhs = rhs.at[: 6 * F].add(
+        (-gx_s + lie.einsum("flab,l,lb->fa", A_s, inv_sw, g_s)).reshape(-1)
+    )
+
+    # ================= hybrid dynamic observations ========================
+    r_h, y_h, q, RH = _hybrid_obs_terms(state, onehot)       # (Ld,F,3)...
+    mask = _obs_mask(state, onehot)
+    e_h = jnp.linalg.norm(r_h, axis=-1) / sig["dyn_pt"]
+    w_h = mask.astype(dtype) * _irls_w(e_h, k_rob, use_rob) / (
+        sig["dyn_pt"] ** 2
+    )                                                        # (Ld, F)
+
+    hat_yh = lie.hat(y_h)
+    Jx = jnp.concatenate(
+        [hat_yh, -jnp.broadcast_to(eye3, hat_yh.shape)], axis=-1
+    )                                                        # (Ld,F,3,6)
+    # J_h = R_X^T R_H [-hat(q) | I]; zero where the motion is not a variable
+    RtRH = lie.einsum("fba,lfbc->lfac", R, RH)               # R_X^T R_H
+    hvar = _h_is_variable(state, onehot).astype(dtype)
+    Jh = jnp.concatenate(
+        [
+            -lie.mm(RtRH, lie.hat(q)[:, None]),
+            RtRH,
+        ],
+        axis=-1,
+    ) * hvar[..., None, None]                                # (Ld,F,3,6)
+    # J_m = R_X^T R_H R_L — orthonormal, so Hpp = (sum w) I; use Jm explicitly
+    # for the gradient/cross terms.
+    Lj_R = lie.einsum(
+        "lj,jab->lab", onehot, lie.rotation(state.L_e)
+    )
+    assigned = jnp.sum(onehot, axis=1) > 0.5
+    Lj_R = jnp.where(assigned[:, None, None], Lj_R, eye3)
+    Jm = lie.einsum("lfab,lbc->lfac", RtRH, Lj_R)            # (Ld,F,3,3)
+
+    sw_d = jnp.sum(w_h, axis=1) + _EPS_REG + lam             # (Ld,)
+    g_d = lie.einsum("lfba,lf,lfb->la", Jm, w_h, r_h)        # (Ld,3)
+    Ax_d = lie.einsum("lfba,lf,lfbc->lfac", Jx, w_h, Jm)     # (Ld,F,6,3)
+    Ah_d = lie.einsum("lfba,lf,lfbc->lfac", Jh, w_h, Jm)
+
+    # direct blocks
+    Hxx_d = lie.einsum("lfab,lf,lfac->fbc", Jx, w_h, Jx)
+    gx_d = lie.einsum("lfab,lf,lfa->fb", Jx, w_h, r_h)
+    S = S.at[: 6 * F, : 6 * F].add(_block_diag_embed(Hxx_d))
+    rhs = rhs.at[: 6 * F].add(-gx_d.reshape(-1))
+
+    Hhh_blk = lie.einsum("lfab,lf,lfac->lfbc", Jh, w_h, Jh)  # (Ld,F,6,6)
+    gh_blk = lie.einsum("lfab,lf,lfa->lfb", Jh, w_h, r_h)
+    Hxh_blk = lie.einsum("lfab,lf,lfac->lfbc", Jx, w_h, Jh)  # same-frame cross
+    Hhh = lie.einsum("lfbc,lj->jfbc", Hhh_blk, onehot)       # (J,F,6,6)
+    gh = lie.einsum("lfb,lj->jfb", gh_blk, onehot)
+    Hxh = lie.einsum("lfbc,lj->jfbc", Hxh_blk, onehot)       # (J,F,6,6)
+
+    # Schur corrections over points (Hpp diagonal!)
+    inv_sw_d = 1.0 / sw_d
+    Sxx_c = lie.einsum("lfab,l,lgcb->fagc", Ax_d, inv_sw_d, Ax_d)
+    Sxh_c = lie.einsum("lfab,l,lgcb,lj->jfagc", Ax_d, inv_sw_d, Ah_d, onehot)
+    Shh_c = lie.einsum("lfab,l,lgcb,lj->jfagc", Ah_d, inv_sw_d, Ah_d, onehot)
+    rx_c = lie.einsum("lfab,l,lb->fa", Ax_d, inv_sw_d, g_d)
+    rh_c = lie.einsum("lfab,l,lb,lj->jfa", Ah_d, inv_sw_d, g_d, onehot)
+
+    S = S.at[: 6 * F, : 6 * F].add(-Sxx_c.reshape(6 * F, 6 * F))
+    rhs = rhs.at[: 6 * F].add(rx_c.reshape(-1))
+
+    # ================= smoothing ternary (per object, batched) ============
+    r_sm, J_A, J_B, J_C = _smooth_triple_terms(state)        # (J,F,...)
+    w_sm = _smooth_triple_mask(state, cfg).astype(dtype)[..., None] / (
+        sig["smooth"] ** 2
+    )                                                        # (J,F,6)
+    # pairwise weighted products
+    JAw = jnp.swapaxes(J_A, -1, -2) * w_sm[..., None, :]
+    JBw = jnp.swapaxes(J_B, -1, -2) * w_sm[..., None, :]
+    JCw = jnp.swapaxes(J_C, -1, -2) * w_sm[..., None, :]
+    eyeF = jnp.eye(F, dtype=dtype)
+    E1 = jnp.eye(F, k=1, dtype=dtype)    # E1[g, f] = 1 iff g = f-1
+    E2 = jnp.eye(F, k=2, dtype=dtype)    # E2[g, f] = 1 iff g = f-2
+
+    # accumulate (J, F,6,F,6): var slots A->f-2, B->f-1, C->f
+    blocks = (
+        lie.einsum("jfab,gf,hf->jgahb", lie.mm(JAw, J_A), E2, E2)
+        + lie.einsum("jfab,gf,hf->jgahb", lie.mm(JBw, J_B), E1, E1)
+        + lie.einsum("jfab,gf,hf->jgahb", lie.mm(JCw, J_C), eyeF, eyeF)
+        + _sym2(lie.einsum("jfab,gf,hf->jgahb", lie.mm(JAw, J_B), E2, E1))
+        + _sym2(lie.einsum("jfab,gf,hf->jgahb", lie.mm(JAw, J_C), E2, eyeF))
+        + _sym2(lie.einsum("jfab,gf,hf->jgahb", lie.mm(JBw, J_C), E1, eyeF))
+    )
+    g_sm = (
+        lie.einsum("jfab,jfb,gf->jga", JAw, r_sm, E2)
+        + lie.einsum("jfab,jfb,gf->jga", JBw, r_sm, E1)
+        + lie.einsum("jfab,jfb->jfa", JCw, r_sm)
+    )
+
+    # ================= assemble motion region ==============================
+    n = 6 * F
+    off0 = 6 * F
+    motion_diag = (
+        jax.vmap(_block_diag_embed)(Hhh)
+        - Shh_c.reshape(J, n, n)
+        + blocks.reshape(J, n, n)
+    )
+    motion_block = lie.einsum("jab,jk->jakb", motion_diag, jnp.eye(J, dtype=dtype))
+    S = S.at[off0:, off0:].add(motion_block.reshape(J * n, J * n))
+    cross = jax.vmap(_block_diag_embed)(Hxh) - Sxh_c.reshape(J, n, n)
+    cross_flat = jnp.swapaxes(cross, 0, 1).reshape(n, J * n)
+    S = S.at[:n, off0:].add(cross_flat)
+    S = S.at[off0:, :n].add(cross_flat.T)
+    rhs = rhs.at[off0:].add(
+        ((-gh - g_sm).reshape(J, n) + rh_c.reshape(J, n)).reshape(-1)
+    )
+
+    # ================= odometry / gauge / marginal prior ==================
+    if cfg.use_vo_factor:
+        X_prev = jnp.concatenate([state.X[:1], state.X[:-1]], axis=0)
+        r_o = factors.between_residual(X_prev, state.X, state.odom)
+        J_Ao, J_Bo = factors.between_jacobians(X_prev, state.X, state.odom, r=r_o)
+        w_o = _odom_mask(state).astype(dtype)[:, None] / sig["odom"] ** 2
+        od_block, od_g = _chain_se3_blocks(r_o, J_Ao, J_Bo, w_o)
+        S = S.at[: 6 * F, : 6 * F].add(od_block.reshape(6 * F, 6 * F))
+        rhs = rhs.at[: 6 * F].add(-od_g.reshape(-1))
+
+    r_p = factors.prior_residual(state.X[0], state.X0_prior)
+    J_p = factors.prior_jacobian(state.X[0], state.X0_prior, r=r_p)
+    w_p = (~state.prior_valid).astype(dtype) / sig["prior0"] ** 2
+    S = S.at[:6, :6].add(w_p * lie.mm(jnp.swapaxes(J_p, -1, -2), J_p))
+    rhs = rhs.at[:6].add(-w_p * (jnp.swapaxes(J_p, -1, -2) @ r_p))
+
+    dx_lin = _prior_dx(state)
+    r_mp = state.prior_b + state.prior_L @ dx_lin
+    pv = state.prior_valid.astype(dtype)
+    S = S + pv * lie.mm(state.prior_L.T, state.prior_L)
+    rhs = rhs - pv * (state.prior_L.T @ r_mp)
+
+    diag = jnp.diag(S)
+    S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
+
+    return _HybridLin(
+        S=S, rhs=rhs, sw_s=sw_s, g_s=g_s, A_s=A_s,
+        sw_d=sw_d, g_d=g_d, Ax_d=Ax_d, Ah_d=Ah_d, onehot=onehot,
+    )
+
+
+def _sym2(B):
+    """B (J, F, 6, F, 6): return B + B^T (block transpose)."""
+    return B + jnp.transpose(B, (0, 3, 4, 1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Update + optimize
+# ---------------------------------------------------------------------------
+
+def _apply_update(state: GraphState, lin: _HybridLin, dx):
+    F, J = state.F, state.J
+    dX = dx[: 6 * F].reshape(F, 6)
+    dH = dx[6 * F :].reshape(J, F, 6)
+
+    X_new = lie.retract(state.X, dX)
+    H_new = lie.retract(state.H, dH)
+
+    At_dx = lie.einsum("flab,fa->lb", lin.A_s, dX)
+    ms_new = state.ms + (-lin.g_s - At_dx) / lin.sw_s[:, None]
+
+    dh_l = lie.einsum("lj,jfc->lfc", lin.onehot, dH)
+    corr = lie.einsum("lfab,fa->lb", lin.Ax_d, dX) + lie.einsum(
+        "lfab,lfa->lb", lin.Ah_d, dh_l
+    )
+    m_hyb_new = state.m_hyb + (-lin.g_d - corr) / lin.sw_d[:, None]
+
+    return state.replace(X=X_new, H=H_new, ms=ms_new, m_hyb=m_hyb_new)
+
+
+def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
+    op = cfg.optimizer
+
+    def solve_dx(lin):
+        L = jnp.linalg.cholesky(lin.S)
+        z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    if not op.accept_reject:
+        lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+
+        def gn_step(st, _):
+            lin = linearize(st, cfg, lam)
+            cand = _apply_update(st, lin, solve_dx(lin))
+            ok = jnp.isfinite(cand.X).all() & jnp.isfinite(cand.H).all()
+            st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
+            return st, None
+
+        state, _ = jax.lax.scan(gn_step, state, None, length=op.max_iterations)
+        return state
+
+    def step(carry, _):
+        st, lam, err = carry
+        lin = linearize(st, cfg, lam)
+        cand = _apply_update(st, lin, solve_dx(lin))
+        new_err = total_error(cand, cfg)
+        accept = (new_err < err) & jnp.isfinite(new_err)
+        st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, st)
+        err = jnp.where(accept, new_err, err)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam / op.lm_lambda_factor, op.lm_min_lambda),
+            jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
+        )
+        return (st, lam, err), err
+
+    err0 = total_error(state, cfg)
+    lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+    (state, _, _), _ = jax.lax.scan(
+        step, (state, lam0, err0), None, length=op.max_iterations
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Accessor helpers
+# ---------------------------------------------------------------------------
+
+def f2f_motion(state: GraphState, f):
+    """F2F world motions at frame slot f: H_{e,f} H_{e,f-1}^{-1}. (J,4,4)."""
+    H_f = state.H[:, f]
+    H_prev = state.H[:, jnp.maximum(f - 1, 0)]
+    return lie.mm(H_f, lie.inverse(H_prev))
+
+
+def object_pose(state: GraphState, f):
+    """Object poses L_k = H_{e,f} L_e. (J, 4, 4)."""
+    return lie.mm(state.H[:, f], state.L_e)

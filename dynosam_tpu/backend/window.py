@@ -211,13 +211,113 @@ def _remaining_old_for_new(F: int, J: int):
 
 def advance(state: GraphState, cfg: BackendParams) -> GraphState:
     """Marginalise frame slot 0 and roll the window left by one. Jittable."""
+    M, g = _departing_information(state, cfg)
+    return _eliminate_and_roll(state, cfg, M, g)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid-formulation advance
+# ---------------------------------------------------------------------------
+
+def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
+    """Departing-factor Hessian/gradient for the hybrid formulation.
+
+    Leaving factors touching {X_0, H_{:,0}}: the slot-0 observation factors
+    (X_0, H_{j,0}, m_L) with m_L held fixed at its estimate (same
+    conservative treatment as the WCME advance), the odometry factor (0, 1),
+    the gauge prior, and the previous marginal prior. Smoothing ternaries
+    that straddle the boundary are dropped (their information is small
+    relative to the observation block).
+    """
+    from dynosam_tpu.backend import hybrid as hyb
+
+    F, J, Ld = state.F, state.J, state.Ld
+    D = state.D
+    dtype = state.X.dtype
+    sig = _sigmas(cfg, dtype)
+
+    M = jnp.zeros((D, D), dtype)
+    g = jnp.zeros((D,), dtype)
+
+    onehot = hyb._object_onehot(state, dtype)
+    r_h, y_h, q, RH = hyb._hybrid_obs_terms(state, onehot)
+    mask = hyb._obs_mask(state, onehot)
+    w = mask[:, 0].astype(dtype) / (sig["dyn_pt"] ** 2)       # slot 0 only
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    y0 = y_h[:, 0]
+    Jx = jnp.concatenate(
+        [lie.hat(y0), -jnp.broadcast_to(eye3, lie.hat(y0).shape)], axis=-1
+    )                                                          # (Ld,3,6)
+    R0 = lie.rotation(state.X[0])
+    RtRH = lie.einsum("ba,lbc->lac", R0, RH[:, 0])
+    hvar = hyb._h_is_variable(state, onehot)[:, 0].astype(dtype)
+    Jh = jnp.concatenate([-lie.mm(RtRH, lie.hat(q)), RtRH], axis=-1) * hvar[
+        :, None, None
+    ]
+
+    r0 = r_h[:, 0]
+    H_xx = lie.einsum("lba,l,lbc->ac", Jx, w, Jx)
+    g_x = lie.einsum("lba,l,lb->a", Jx, w, r0)
+    H_hh = lie.einsum("lba,l,lbc->lac", Jh, w, Jh)
+    g_h = lie.einsum("lba,l,lb->la", Jh, w, r0)
+    H_xh = lie.einsum("lba,l,lbc->lac", Jx, w, Jh)
+    H_hh_obj = lie.einsum("lac,lj->jac", H_hh, onehot)
+    g_h_obj = lie.einsum("la,lj->ja", g_h, onehot)
+    H_xh_obj = lie.einsum("lac,lj->jac", H_xh, onehot)
+
+    M = M.at[:6, :6].add(H_xx)
+    g = g.at[:6].add(g_x)
+    off0 = 6 * F
+    for j in range(J):
+        o = off0 + 6 * (j * F)
+        M = M.at[o : o + 6, o : o + 6].add(H_hh_obj[j])
+        g = g.at[o : o + 6].add(g_h_obj[j])
+        M = M.at[:6, o : o + 6].add(H_xh_obj[j])
+        M = M.at[o : o + 6, :6].add(H_xh_obj[j].T)
+
+    # odometry(0, 1)
+    if cfg.use_vo_factor:
+        r_o = factors.between_residual(state.X[0], state.X[1], state.odom[1])
+        J_A, J_B = factors.between_jacobians(
+            state.X[0], state.X[1], state.odom[1], r=r_o
+        )
+        active = (state.odom_valid[1] & (state.num_frames > 1)).astype(dtype)
+        wv = active / sig["odom"] ** 2
+        JAw = jnp.swapaxes(J_A, -1, -2) * wv
+        JBw = jnp.swapaxes(J_B, -1, -2) * wv
+        M = M.at[:6, :6].add(JAw @ J_A)
+        M = M.at[6:12, 6:12].add(JBw @ J_B)
+        M = M.at[:6, 6:12].add(JAw @ J_B)
+        M = M.at[6:12, :6].add((JAw @ J_B).T)
+        g = g.at[:6].add(JAw @ r_o)
+        g = g.at[6:12].add(JBw @ r_o)
+
+    # gauge prior
+    gauge_on = (~state.prior_valid).astype(dtype)
+    r_p = factors.prior_residual(state.X[0], state.X0_prior)
+    J_p = factors.prior_jacobian(state.X[0], state.X0_prior, r=r_p)
+    w_p = gauge_on / sig["prior0"] ** 2
+    M = M.at[:6, :6].add(w_p * (jnp.swapaxes(J_p, -1, -2) @ J_p))
+    g = g.at[:6].add(w_p * (jnp.swapaxes(J_p, -1, -2) @ r_p))
+
+    # previous marginal prior
+    dx_lin = _prior_dx(state)
+    r_mp = state.prior_b + state.prior_L @ dx_lin
+    pv = state.prior_valid.astype(dtype)
+    M = M + pv * lie.mm(state.prior_L.T, state.prior_L)
+    g = g + pv * (state.prior_L.T @ r_mp)
+    return M, g
+
+
+def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
+    """Shared second half of advance: Schur out {X_0, H_{:,0}}, re-index the
+    prior to the rolled layout, and roll all frame-indexed tables."""
     F, J = state.F, state.J
     D = state.D
     dtype = state.X.dtype
 
-    # ---- marginal prior ----------------------------------------------------
-    M, g = _departing_information(state, cfg)
-    dep = _departing_indices(F, J)                        # (6 + 6J,)
+    dep = _departing_indices(F, J)
     keep_mask = jnp.ones((D,), bool).at[dep].set(False)
     keep = jnp.where(keep_mask, size=D - dep.shape[0])[0]
 
@@ -228,39 +328,38 @@ def advance(state: GraphState, cfg: BackendParams) -> GraphState:
     g_r = g[keep]
 
     L_dd = jnp.linalg.cholesky(M_dd)
-    sol = jax.scipy.linalg.cho_solve((L_dd, True), jnp.concatenate([M_dr, g_d[:, None]], axis=1))
+    sol = jax.scipy.linalg.cho_solve(
+        (L_dd, True), jnp.concatenate([M_dr, g_d[:, None]], axis=1)
+    )
     Minv_Mdr, Minv_gd = sol[:, :-1], sol[:, -1]
     H_marg_keep = M_rr - M_dr.T @ Minv_Mdr
     g_marg_keep = g_r - M_dr.T @ Minv_gd
 
-    # re-embed into full old layout, then permute to the new layout
     H_marg = jnp.zeros((D, D), dtype).at[jnp.ix_(keep, keep)].set(H_marg_keep)
     g_marg = jnp.zeros((D,), dtype).at[keep].set(g_marg_keep)
 
-    old_of_new = _remaining_old_for_new(F, J)             # (D,)
+    old_of_new = _remaining_old_for_new(F, J)
     sel = jnp.clip(old_of_new, 0, D - 1)
     valid_new = (old_of_new >= 0).astype(dtype)
     H_new = H_marg[jnp.ix_(sel, sel)] * valid_new[:, None] * valid_new[None, :]
     g_new = g_marg[sel] * valid_new
 
-    # sqrt form: prior cost 0.5 |L dx + b|^2 with L^T L = H, L^T b = g
     H_new = H_new + 1e-8 * jnp.eye(D, dtype=dtype)
     L_low = jnp.linalg.cholesky(H_new)
     b = jax.scipy.linalg.solve_triangular(L_low, g_new, lower=True)
     prior_L = L_low.T
 
-    # ---- roll all frame-indexed tables -------------------------------------
-    def roll0(x):  # frame axis 0
+    def roll0(x):
         return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
 
-    def roll1(x):  # frame axis 1
+    def roll1(x):
         return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
 
     X = jnp.concatenate([state.X[1:], state.X[-1:]], axis=0)
     H = jnp.concatenate([state.H[:, 1:], state.H[:, -1:]], axis=1)
     md = jnp.concatenate([state.md[:, 1:], state.md[:, -1:] * 0], axis=1)
 
-    new_state = state.replace(
+    return state.replace(
         X=X,
         H=H,
         md=md,
@@ -275,10 +374,16 @@ def advance(state: GraphState, cfg: BackendParams) -> GraphState:
         d_valid=roll1(state.d_valid),
         odom=jnp.concatenate([state.odom[1:], state.odom[-1:]], axis=0),
         odom_valid=roll0(state.odom_valid),
+        kf_slot=jnp.maximum(state.kf_slot - 1, -1),
         prior_L=prior_L,
         prior_b=b,
         prior_lin_X=X,
         prior_lin_H=H,
         prior_valid=jnp.array(True),
     )
-    return new_state
+
+
+def advance_hybrid(state: GraphState, cfg: BackendParams) -> GraphState:
+    """Hybrid-formulation window advance (marginalise + roll). Jittable."""
+    M, g = _departing_information_hybrid(state, cfg)
+    return _eliminate_and_roll(state, cfg, M, g)

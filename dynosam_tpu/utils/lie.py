@@ -241,9 +241,12 @@ def _se3_Q(xi):
     c2 = jnp.where(
         is_small, 1.0 / 24.0 - theta2 / 720.0, -(1.0 - theta2 / 2.0 - c) / t4
     )
+    # coefficient of (WVW^2 + W^2VW): 0.5*(c2 + 3*(theta - sin - theta^3/6)/theta^5)
+    # (sign verified empirically against autodiff — some textbook printings
+    # differ; see tests/test_lie.py::test_se3_left_jacobian_inv)
     c3 = 0.5 * (
         c2
-        - 3.0
+        + 3.0
         * jnp.where(
             is_small,
             -1.0 / 120.0 + theta2 / 5040.0,

@@ -1,0 +1,187 @@
+"""Hybrid (object-centric keyframed) formulation tests — RA-L 2025 parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynosam_tpu.backend import graph, hybrid, window
+from dynosam_tpu.backend.backend import RegularBackend
+from dynosam_tpu.config import BackendParams
+from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
+from dynosam_tpu.utils import lie
+
+MAX_OBJ = 4
+
+
+def hyb_cfg(**kw):
+    base = dict(
+        max_frames=8,
+        max_objects=MAX_OBJ,
+        max_static_landmarks=256,
+        max_dynamic_landmarks=96,
+        backend_updater_enum=3,
+    )
+    base.update(kw)
+    return BackendParams(**base)
+
+
+@pytest.fixture(scope="module")
+def clean_scn():
+    return Scenario(ScenarioSpec.default_two_objects(num_frames=8))
+
+
+@pytest.fixture(scope="module")
+def noisy_scn():
+    return Scenario(
+        ScenarioSpec.default_two_objects(
+            num_frames=12, pixel_noise=0.4, depth_noise=0.02, seed=5
+        )
+    )
+
+
+def ingest_all(scn, cfg, n=None):
+    st = graph.empty_graph(cfg)
+    for k in range(n or scn.spec.num_frames):
+        st = graph.update_from_packet_hybrid(
+            st, scn.measurements(k, MAX_OBJ), scn.intr, cfg
+        )
+    return st
+
+
+def f2f_errors(st, scn, frames):
+    """F2F motion errors vs GT, over frames where the motion is estimable."""
+    errs = []
+    for f in frames:
+        H_f2f = hybrid.f2f_motion(st, f)
+        for j in range(2):
+            if bool(st.H_valid[j, f]):
+                e = lie.local_coordinates(H_f2f[j], scn.H_gt[j][f])
+                errs.append(float(jnp.linalg.norm(e)))
+    return errs
+
+
+class TestSmoothingJacobians:
+    def test_triple_factor_vs_autodiff(self):
+        key = jax.random.PRNGKey(3)
+        xi = jax.random.normal(key, (3, 6)) * 0.3
+        A, B, C = lie.se3_exp(xi[0]), lie.se3_exp(xi[1]), lie.se3_exp(xi[2])
+
+        def resid(a, b, c):
+            Binv = lie.inverse(b)
+            return lie.se3_log(lie.mm(lie.mm(lie.mm(a, Binv), c), Binv))
+
+        r = resid(A, B, C)
+        Jl_inv = lie.se3_left_jacobian_inv(r)
+        Jr_inv = lie.se3_left_jacobian_inv(-r)
+        J_A = lie.mm(Jl_inv, lie.adjoint(A))
+        J_C = lie.mm(Jr_inv, lie.adjoint(B))
+        J_B = -(J_A + J_C)
+
+        z6 = jnp.zeros(6)
+        J_A_ad = jax.jacfwd(lambda x: resid(lie.retract(A, x), B, C))(z6)
+        J_B_ad = jax.jacfwd(lambda x: resid(A, lie.retract(B, x), C))(z6)
+        J_C_ad = jax.jacfwd(lambda x: resid(A, B, lie.retract(C, x)))(z6)
+        np.testing.assert_allclose(J_A, J_A_ad, atol=2e-3)
+        np.testing.assert_allclose(J_B, J_B_ad, atol=2e-3)
+        np.testing.assert_allclose(J_C, J_C_ad, atol=2e-3)
+
+
+class TestHybridBatch:
+    def test_ingestion_structure(self, clean_scn):
+        cfg = hyb_cfg()
+        st = ingest_all(clean_scn, cfg)
+        assert bool(st.kf_valid[0]) and bool(st.kf_valid[1])
+        # simulator packets mark object motions valid from frame 1, so the
+        # object slots are allocated (and keyframed) at slot 1
+        assert int(st.kf_slot[0]) == 1
+        # H at keyframe slot is not a variable
+        assert not bool(st.H_valid[0, 1])
+        assert bool(st.H_valid[0, 3])
+
+    def test_exact_recovery(self, clean_scn):
+        # smoothing off: the constant-motion prior is a (deliberate) bias —
+        # world-frame F2F motions of a body-constant motion are not constant
+        cfg = hyb_cfg(use_smoothing_factor=False)
+        st = ingest_all(clean_scn, cfg)
+        st = hybrid.optimize(st, cfg)
+        for k in range(8):
+            err = lie.local_coordinates(st.X[k], clean_scn.X_gt[k])
+            assert float(jnp.linalg.norm(err)) < 1e-3, k
+        errs = f2f_errors(st, clean_scn, range(1, 8))
+        assert max(errs) < 2e-3, errs
+
+    def test_exact_recovery_with_smoothing(self, clean_scn):
+        cfg = hyb_cfg()
+        st = ingest_all(clean_scn, cfg)
+        st = hybrid.optimize(st, cfg)
+        for k in range(8):
+            err = lie.local_coordinates(st.X[k], clean_scn.X_gt[k])
+            assert float(jnp.linalg.norm(err)) < 8e-3, k
+        errs = f2f_errors(st, clean_scn, range(1, 8))
+        assert max(errs) < 5e-3, errs
+
+    def test_error_decreases(self, noisy_scn):
+        cfg = hyb_cfg()
+        st = ingest_all(noisy_scn, cfg, n=8)
+        e0 = float(hybrid.total_error(st, cfg))
+        st = hybrid.optimize(st, cfg)
+        e1 = float(hybrid.total_error(st, cfg))
+        assert e1 < 0.2 * e0
+
+    def test_noisy_accuracy(self, noisy_scn):
+        cfg = hyb_cfg()
+        st = ingest_all(noisy_scn, cfg, n=8)
+        st = hybrid.optimize(st, cfg)
+        for k in range(8):
+            err = lie.local_coordinates(st.X[k], noisy_scn.X_gt[k])
+            assert float(jnp.linalg.norm(err)) < 0.03, k
+        errs = f2f_errors(st, noisy_scn, range(2, 8))
+        assert max(errs) < 0.15
+
+    def test_object_pose_accuracy(self, clean_scn):
+        cfg = hyb_cfg()
+        st = ingest_all(clean_scn, cfg)
+        st = hybrid.optimize(st, cfg)
+        # L_k = H_{e,k} L_e should track the GT centroid trajectory
+        L = hybrid.object_pose(st, 5)
+        for j in range(2):
+            c_est = np.asarray(L[j][:3, 3])
+            c_gt = np.asarray(clean_scn.object_points_world[j][5].mean(axis=0))
+            # L translation is the frame-0 centroid transported by GT motion
+            c0 = np.asarray(clean_scn.object_points_world[j][0].mean(axis=0))
+            H_prod = lie.identity()
+            for k in range(1, 6):
+                H_prod = lie.compose(clean_scn.H_gt[j][k], H_prod)
+            expected = np.asarray(lie.transform_points(H_prod, jnp.asarray(c0)))
+            np.testing.assert_allclose(c_est, expected, atol=2e-2)
+
+
+class TestHybridStreaming:
+    def test_streaming(self, noisy_scn):
+        cfg = hyb_cfg(max_frames=8, optimization_mode=1)
+        be = RegularBackend(cfg, noisy_scn.intr)
+        for k in range(12):
+            out = be.step(noisy_scn.measurements(k, MAX_OBJ))
+        err = lie.local_coordinates(
+            jnp.asarray(out.X_world_cam), noisy_scn.X_gt[11]
+        )
+        assert float(jnp.linalg.norm(err)) < 0.08
+        for j, oid in enumerate(noisy_scn.object_ids):
+            slot = list(out.object_ids).index(oid)
+            assert out.object_motion_valid[slot]
+            e = lie.local_coordinates(
+                jnp.asarray(out.object_motions[slot]), noisy_scn.H_gt[j][11]
+            )
+            assert float(jnp.linalg.norm(e)) < 0.25
+
+    def test_incremental(self, noisy_scn):
+        cfg = hyb_cfg(max_frames=8, optimization_mode=2)
+        be = RegularBackend(cfg, noisy_scn.intr)
+        for k in range(12):
+            out = be.step(noisy_scn.measurements(k, MAX_OBJ))
+        assert np.isfinite(out.X_world_cam).all()
+        err = lie.local_coordinates(
+            jnp.asarray(out.X_world_cam), noisy_scn.X_gt[11]
+        )
+        assert float(jnp.linalg.norm(err)) < 0.1

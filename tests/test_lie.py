@@ -126,3 +126,29 @@ class TestQuat:
     def test_identity(self):
         q = lie.rot_to_quat(jnp.eye(3))
         np.testing.assert_allclose(q, jnp.array([0.0, 0.0, 0.0, 1.0]), atol=1e-6)
+
+
+class TestSE3Jacobians:
+    def test_se3_left_jacobian_inv(self):
+        # d/dxi log(exp(xi) M) at 0 == Jl^{-1}(log M), at LARGE angles
+        for i in range(4):
+            m = jax.random.normal(jax.random.fold_in(KEY, i), (6,)) * 0.6
+            M = lie.se3_exp(m)
+            J_ad = jax.jacfwd(
+                lambda xi: lie.se3_log(lie.mm(lie.se3_exp(xi), M))
+            )(jnp.zeros(6))
+            J_cf = lie.se3_left_jacobian_inv(lie.se3_log(M))
+            np.testing.assert_allclose(J_cf, J_ad, atol=2e-4)
+
+    def test_se3_right_jacobian_inv(self):
+        m = jax.random.normal(KEY, (6,)) * 0.5
+        M = lie.se3_exp(m)
+        J_ad = jax.jacfwd(
+            lambda xi: lie.se3_log(lie.mm(M, lie.se3_exp(xi)))
+        )(jnp.zeros(6))
+        J_cf = lie.se3_right_jacobian_inv(lie.se3_log(M))
+        np.testing.assert_allclose(J_cf, J_ad, atol=2e-4)
+
+    def test_jacobian_inv_at_identity(self):
+        J = lie.se3_left_jacobian_inv(jnp.zeros(6))
+        np.testing.assert_allclose(J, jnp.eye(6), atol=1e-6)
