@@ -61,10 +61,13 @@ def build():
                 camera=RansacParams(ransac_iterations=256),
                 object=RansacParams(ransac_iterations=128, min_inliers=8),
                 refinement_iterations=4,
+                object_refinement_iterations=2,
+                refit_rounds=1,
             ),
         ),
         backend=BackendParams(
             optimization_mode=2,          # incremental (realtime mode)
+            backend_updater_enum=3,       # hybrid — "Recommended for speed"
             max_frames=10,                # reference opt_window_size=10
             max_objects=8,
             max_static_landmarks=800,

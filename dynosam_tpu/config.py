@@ -42,6 +42,10 @@ class MotionSolverParams:
     joint_of_k_huber: float = 0.1
     motion_3d_k_huber: float = 0.01
     refinement_iterations: int = 8       # fixed GN iterations on TPU
+    # object motions only initialise the backend, which refines them anyway —
+    # fewer GN iterations than the camera solve
+    object_refinement_iterations: int = 4
+    refit_rounds: int = 2
     camera: RansacParams = field(default_factory=RansacParams)
     object: RansacParams = field(default_factory=lambda: RansacParams(min_inliers=8))
 

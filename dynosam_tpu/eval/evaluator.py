@@ -1,0 +1,169 @@
+"""Dataset evaluation harness: CSV logs -> metric tables.
+
+Reference parity: /root/reference/dynosam_utils/dynosam_utils/evaluation/
+evaluation_lib.py (DatasetEvaluator:1007, MotionErrorEvaluator:173,
+CameraPoseEvaluator:635): walks a results folder, loads the per-module CSV
+logs written by utils.logger.EstimationModuleLogger (same schemas as the
+reference's Logger.cc), and computes:
+
+  * camera: ATE (aligned + unaligned) and RPE,
+  * per-object motion: AME (world frame 'W') and RME (body frame 'L',
+    requires GT object poses in the object_pose log).
+
+Results are returned as plain dicts and can be dumped as JSON — the
+reference's PDF plot collections are replaced by machine-readable output.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+from dynosam_tpu.eval import metrics
+from dynosam_tpu.utils import lie
+
+
+def _row_pose(row, offset) -> Optional[np.ndarray]:
+    try:
+        vals = [float(row[offset + i]) for i in range(7)]
+    except (ValueError, IndexError):
+        return None
+    t = np.array(vals[:3])
+    q = np.array(vals[3:])  # xyzw
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(lie.quat_to_rot(q))
+    T[:3, 3] = t
+    return T
+
+
+def load_camera_pose_log(path: str):
+    """-> (frame_ids, est (K,4,4), gt (K,4,4) or None)."""
+    frames, est, gt = [], [], []
+    has_gt = True
+    with open(path) as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            T = _row_pose(row, 1)
+            if T is None:
+                continue
+            frames.append(int(row[0]))
+            est.append(T)
+            G = _row_pose(row, 8)
+            if G is None:
+                has_gt = False
+            else:
+                gt.append(G)
+    est = np.stack(est) if est else np.zeros((0, 4, 4))
+    gt_arr = np.stack(gt) if (has_gt and gt) else None
+    return np.array(frames), est, gt_arr
+
+
+def load_object_log(path: str):
+    """-> {object_id: (frame_ids, est (K,4,4), gt (K,4,4) or None)}."""
+    per_obj = defaultdict(lambda: ([], [], []))
+    with open(path) as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            T = _row_pose(row, 2)
+            if T is None:
+                continue
+            fid, oid = int(row[0]), int(row[1])
+            frames, est, gt = per_obj[oid]
+            frames.append(fid)
+            est.append(T)
+            gt.append(_row_pose(row, 9))
+    out = {}
+    for oid, (frames, est, gt) in per_obj.items():
+        gt_ok = all(g is not None for g in gt) and len(gt) == len(est)
+        out[oid] = (
+            np.array(frames),
+            np.stack(est),
+            np.stack(gt) if gt_ok else None,
+        )
+    return out
+
+
+class DatasetEvaluator:
+    """Evaluate one results folder (one or more logged modules)."""
+
+    def __init__(self, results_path: str):
+        self.path = results_path
+
+    def modules(self):
+        mods = set()
+        for f in os.listdir(self.path):
+            if f.endswith("_camera_pose_log.csv"):
+                mods.add(f[: -len("_camera_pose_log.csv")])
+        return sorted(mods)
+
+    def evaluate_module(self, module: str) -> Dict:
+        out: Dict = {"module": module}
+
+        cam_log = os.path.join(self.path, f"{module}_camera_pose_log.csv")
+        if os.path.exists(cam_log):
+            frames, est, gt = load_camera_pose_log(cam_log)
+            if gt is not None and len(est) >= 2:
+                ate = metrics.ate(est, gt, align=True)
+                ate_ua = metrics.ate(est, gt, align=False)
+                rpe = metrics.rpe(est, gt)
+                out["camera"] = {
+                    "n_frames": int(len(est)),
+                    "ate_trans_rmse": ate.trans_rmse,
+                    "ate_rot_rmse": ate.rot_rmse,
+                    "ate_unaligned_trans_rmse": ate_ua.trans_rmse,
+                    "rpe_trans_rmse": rpe.trans_rmse,
+                    "rpe_rot_rmse": rpe.rot_rmse,
+                }
+
+        motion_log = os.path.join(self.path, f"{module}_object_motion_log.csv")
+        pose_log = os.path.join(self.path, f"{module}_object_pose_log.csv")
+        if os.path.exists(motion_log):
+            motions = load_object_log(motion_log)
+            poses = load_object_log(pose_log) if os.path.exists(pose_log) else {}
+            objects = {}
+            for oid, (frames, H_est, H_gt) in motions.items():
+                if H_gt is None or len(H_est) < 1:
+                    continue
+                entry = {"n_frames": int(len(H_est))}
+                ame = metrics.ame(H_est, H_gt)
+                entry["ame_trans_rmse"] = ame.trans_rmse
+                entry["ame_rot_rmse"] = ame.rot_rmse
+                # RME needs GT object poses at k-1 and k
+                if oid in poses and poses[oid][2] is not None:
+                    pf, _, L_gt = poses[oid]
+                    fmap = {f: i for i, f in enumerate(pf)}
+                    idx_pairs = [
+                        (fmap[f - 1], fmap[f], i)
+                        for i, f in enumerate(frames)
+                        if f in fmap and (f - 1) in fmap
+                    ]
+                    if idx_pairs:
+                        prev = np.stack([L_gt[a] for a, _, _ in idx_pairs])
+                        curr = np.stack([L_gt[b] for _, b, _ in idx_pairs])
+                        Hs = np.stack([H_est[i] for _, _, i in idx_pairs])
+                        rme = metrics.rme(Hs, prev, curr)
+                        entry["rme_trans_rmse"] = rme.trans_rmse
+                        entry["rme_rot_rmse"] = rme.rot_rmse
+                objects[int(oid)] = entry
+            out["objects"] = objects
+        return out
+
+    def run_analysis(self) -> Dict:
+        results = {m: self.evaluate_module(m) for m in self.modules()}
+        return results
+
+    def write_report(self, out_path: Optional[str] = None) -> str:
+        results = self.run_analysis()
+        text = json.dumps(results, indent=2, sort_keys=True)
+        if out_path is None:
+            out_path = os.path.join(self.path, "evaluation_results.json")
+        with open(out_path, "w") as f:
+            f.write(text)
+        return out_path

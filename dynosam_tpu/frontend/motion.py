@@ -86,6 +86,7 @@ def solve_camera_pose(
         threshold=rp.ransac_threshold_pnp,
         min_inliers=rp.min_inliers,
         refit_fn=refit_fn,
+        refit_rounds=params.refit_rounds,
     )
 
     T_cw = res.model
@@ -167,6 +168,7 @@ def solve_object_motion(
         threshold=rp.ransac_threshold_pnp,
         min_inliers=rp.min_inliers,
         refit_fn=refit_fn,
+        refit_rounds=params.refit_rounds,
     )
 
     H = res.model
@@ -178,7 +180,7 @@ def solve_object_motion(
         gn_residual,
         H,
         res.inliers.astype(pts_world_prev.dtype),
-        iterations=params.refinement_iterations,
+        iterations=params.object_refinement_iterations,
         k_huber=params.joint_of_k_huber * intr.fx,
     )
     H = jnp.where(res.valid, H, jnp.eye(4, dtype=H.dtype))

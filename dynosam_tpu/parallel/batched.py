@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dynosam_tpu.backend import graph as graph_mod
+from dynosam_tpu.backend import hybrid as hybrid_mod
 from dynosam_tpu.backend import solver
 from dynosam_tpu.backend.graph import GraphState
 from dynosam_tpu.backend import window as window_mod
@@ -70,6 +71,16 @@ def make_fused_step(cfg: DynoConfig, intr: cam.CameraIntrinsics):
         )
     cfg = dataclasses.replace(cfg, backend=bcfg)
 
+    # formulation dispatch (backend_updater_enum parity)
+    if bcfg.backend_updater_enum == 3:
+        advance_fn = window_mod.advance_hybrid
+        update_fn = graph_mod.update_from_packet_hybrid
+        optimize_fn = hybrid_mod.optimize
+    else:
+        advance_fn = window_mod.advance
+        update_fn = graph_mod.update_from_packet
+        optimize_fn = solver.optimize
+
     def step(state: PipelineState, inputs: FrameInputs):
         fe_state, packet = frontend_step(state.frontend, inputs, intr, cfg.frontend)
         g = state.graph
@@ -77,12 +88,12 @@ def make_fused_step(cfg: DynoConfig, intr: cam.CameraIntrinsics):
         full = g.num_frames >= cfg.backend.max_frames
         g = jax.lax.cond(
             full,
-            lambda s: window_mod.advance(s, cfg.backend),
+            lambda s: advance_fn(s, cfg.backend),
             lambda s: s,
             g,
         )
-        g = graph_mod.update_from_packet(g, packet, intr, cfg.backend)
-        g = solver.optimize(g, cfg.backend)
+        g = update_fn(g, packet, intr, cfg.backend)
+        g = optimize_fn(g, cfg.backend)
         new_state = PipelineState(frontend=fe_state, graph=g)
         latest = jnp.clip(g.num_frames - 1, 0, cfg.backend.max_frames - 1)
         outputs = {

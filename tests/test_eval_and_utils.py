@@ -133,3 +133,50 @@ class TestLogger:
         assert row[0] == "0" and float(row[7]) == 1.0  # identity quat qw=1
         mp = (tmp_path / "testmod_map_points_log.csv").read_text().splitlines()
         assert mp[0] == "frame_id,object_id,tracklet_id,x_world,y_world,z_world"
+
+
+class TestEvaluator:
+    def test_round_trip(self, tmp_path):
+        """Logger -> evaluator round trip with synthetic GT."""
+        import jax.numpy as jnp
+
+        from dynosam_tpu.eval.evaluator import DatasetEvaluator
+        from dynosam_tpu.utils.logger import EstimationModuleLogger
+
+        log = EstimationModuleLogger("hybrid", str(tmp_path))
+        # camera: est = gt shifted 0.1 in x; objects: H with known offset
+        L_prev = np.eye(4)
+        for k in range(6):
+            T_gt = np.eye(4)
+            T_gt[2, 3] = 0.5 * k
+            T_est = T_gt.copy()
+            T_est[0, 3] += 0.1
+            log.log_camera_pose(k, T_est, T_gt)
+            H_gt = np.eye(4)
+            H_gt[2, 3] = 0.3
+            H_est = H_gt.copy()
+            H_est[1, 3] += 0.05
+            if k > 0:
+                L_curr = H_gt @ L_prev
+                log.log_object_motion(k, 2, H_est, H_gt)
+                log.log_object_pose(k, 2, L_curr, L_curr)
+                L_prev = L_curr
+            else:
+                log.log_object_pose(k, 2, L_prev, L_prev)
+        log.close()
+
+        ev = DatasetEvaluator(str(tmp_path))
+        assert ev.modules() == ["hybrid"]
+        res = ev.evaluate_module("hybrid")
+        # constant offset is removed by alignment
+        assert res["camera"]["ate_trans_rmse"] < 1e-6
+        np.testing.assert_allclose(
+            res["camera"]["ate_unaligned_trans_rmse"], 0.1, atol=1e-6
+        )
+        assert res["camera"]["rpe_trans_rmse"] < 1e-6
+        obj = res["objects"][2]
+        np.testing.assert_allclose(obj["ame_trans_rmse"], 0.05, atol=1e-6)
+        np.testing.assert_allclose(obj["rme_trans_rmse"], 0.05, atol=1e-6)
+        # report write
+        p = ev.write_report()
+        assert p.endswith("evaluation_results.json")
