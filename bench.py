@@ -72,7 +72,7 @@ def build():
             max_objects=8,
             max_static_landmarks=800,
             max_dynamic_landmarks=1024,
-            optimizer=OptimizerParams(max_iterations=3),
+            optimizer=OptimizerParams(max_iterations=2),
         ),
     )
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dynosam_tpu.backend import factors
 from dynosam_tpu.backend.graph import GraphState
@@ -185,27 +186,28 @@ def _departing_information(state: GraphState, cfg: BackendParams):
 
 
 def _departing_indices(F: int, J: int):
-    """Tangent indices of {X_0, H_{:,0}} in the old layout."""
-    idx = [jnp.arange(6)]
+    """Tangent indices of {X_0, H_{:,0}} in the old layout (static numpy)."""
+    idx = [np.arange(6)]
     off0 = 6 * F
     for j in range(J):
         o = off0 + 6 * (j * F)
-        idx.append(jnp.arange(o, o + 6))
-    return jnp.concatenate(idx)
+        idx.append(np.arange(o, o + 6))
+    return np.concatenate(idx)
 
 
 def _remaining_old_for_new(F: int, J: int):
-    """old tangent index feeding each new tangent index; -1 for fresh slots."""
-    out = -jnp.ones((6 * F + 6 * J * F,), jnp.int32)
+    """old tangent index feeding each new tangent index; -1 for fresh slots.
+    Static numpy (used to build constant permutation matrices)."""
+    out = -np.ones((6 * F + 6 * J * F,), np.int64)
     # poses: new f <- old f+1 for f < F-1
     for f in range(F - 1):
-        out = out.at[6 * f : 6 * f + 6].set(jnp.arange(6 * (f + 1), 6 * (f + 1) + 6))
+        out[6 * f : 6 * f + 6] = np.arange(6 * (f + 1), 6 * (f + 1) + 6)
     off0 = 6 * F
     for j in range(J):
         for f in range(F - 1):
             new_o = off0 + 6 * (j * F + f)
             old_o = off0 + 6 * (j * F + f + 1)
-            out = out.at[new_o : new_o + 6].set(jnp.arange(old_o, old_o + 6))
+            out[new_o : new_o + 6] = np.arange(old_o, old_o + 6)
     return out
 
 
@@ -312,20 +314,27 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
 
 def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
     """Shared second half of advance: Schur out {X_0, H_{:,0}}, re-index the
-    prior to the rolled layout, and roll all frame-indexed tables."""
+    prior to the rolled layout, and roll all frame-indexed tables.
+
+    All index selections use constant one-hot matrices contracted on the MXU
+    — fancy-index gathers/scatters on (D, D) arrays are latency traps on TPU.
+    """
     F, J = state.F, state.J
     D = state.D
     dtype = state.X.dtype
 
-    dep = _departing_indices(F, J)
-    keep_mask = jnp.ones((D,), bool).at[dep].set(False)
-    keep = jnp.where(keep_mask, size=D - dep.shape[0])[0]
+    dep = np.asarray(_departing_indices(F, J))            # static
+    nd = dep.shape[0]
+    keep = np.setdiff1d(np.arange(D), dep)
+    P_d = jnp.zeros((nd, D), dtype).at[jnp.arange(nd), dep].set(1.0)
+    P_r = jnp.zeros((D - nd, D), dtype).at[jnp.arange(D - nd), keep].set(1.0)
 
-    M_dd = M[dep][:, dep] + _EPS_REG * jnp.eye(dep.shape[0], dtype=dtype)
-    M_dr = M[dep][:, keep]
-    M_rr = M[keep][:, keep]
-    g_d = g[dep]
-    g_r = g[keep]
+    M_d_rows = lie.mm(P_d, M)                             # (nd, D)
+    M_dd = lie.mm(M_d_rows, P_d.T) + _EPS_REG * jnp.eye(nd, dtype=dtype)
+    M_dr = lie.mm(M_d_rows, P_r.T)                        # (nd, D-nd)
+    M_rr = lie.mm(lie.mm(P_r, M), P_r.T)
+    g_d = P_d @ g
+    g_r = P_r @ g
 
     L_dd = jnp.linalg.cholesky(M_dd)
     sol = jax.scipy.linalg.cho_solve(
@@ -335,14 +344,20 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
     H_marg_keep = M_rr - M_dr.T @ Minv_Mdr
     g_marg_keep = g_r - M_dr.T @ Minv_gd
 
-    H_marg = jnp.zeros((D, D), dtype).at[jnp.ix_(keep, keep)].set(H_marg_keep)
-    g_marg = jnp.zeros((D,), dtype).at[keep].set(g_marg_keep)
-
-    old_of_new = _remaining_old_for_new(F, J)
-    sel = jnp.clip(old_of_new, 0, D - 1)
-    valid_new = (old_of_new >= 0).astype(dtype)
-    H_new = H_marg[jnp.ix_(sel, sel)] * valid_new[:, None] * valid_new[None, :]
-    g_new = g_marg[sel] * valid_new
+    # re-index to the rolled layout: new = P_map @ keep-space
+    old_of_new = np.asarray(_remaining_old_for_new(F, J))  # static
+    keep_pos = -np.ones(D, np.int64)
+    keep_pos[keep] = np.arange(D - nd)
+    rows = np.nonzero(old_of_new >= 0)[0]
+    cols = keep_pos[old_of_new[rows]]
+    ok = cols >= 0
+    P_map = (
+        jnp.zeros((D, D - nd), dtype)
+        .at[jnp.asarray(rows[ok]), jnp.asarray(cols[ok])]
+        .set(1.0)
+    )
+    H_new = lie.mm(lie.mm(P_map, H_marg_keep), P_map.T)
+    g_new = P_map @ g_marg_keep
 
     H_new = H_new + 1e-8 * jnp.eye(D, dtype=dtype)
     L_low = jnp.linalg.cholesky(H_new)

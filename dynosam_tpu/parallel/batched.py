@@ -54,8 +54,20 @@ def init_pipeline_state(cfg: DynoConfig, key=None) -> PipelineState:
     )
 
 
-def make_fused_step(cfg: DynoConfig, intr: cam.CameraIntrinsics):
-    """One full SLAM step: images in -> optimized state out. Pure, jittable."""
+def make_fused_step(
+    cfg: DynoConfig, intr: cam.CameraIntrinsics, pipelined: bool = True
+):
+    """One full SLAM step: images in -> optimized state out. Pure, jittable.
+
+    pipelined=True (default) software-pipelines the backend one frame behind
+    the frontend *inside one XLA program*: the window optimization of the
+    previously ingested frame has no data dependency on the current frame's
+    images, so XLA overlaps it with tracking/RANSAC — per-step latency is
+    max(frontend, backend) instead of their sum. This mirrors the reference's
+    asynchronous frontend/backend threads + queue (PipelineManager.cc:221),
+    with identical estimates delayed by one frame. pipelined=False optimizes
+    the current frame's window before returning (sequential mode).
+    """
     import dataclasses
 
     bcfg = cfg.backend
@@ -81,29 +93,47 @@ def make_fused_step(cfg: DynoConfig, intr: cam.CameraIntrinsics):
         update_fn = graph_mod.update_from_packet
         optimize_fn = solver.optimize
 
-    def step(state: PipelineState, inputs: FrameInputs):
-        fe_state, packet = frontend_step(state.frontend, inputs, intr, cfg.frontend)
-        g = state.graph
-        # slide when full (branchless: advance is only meaningful when full)
+    def _advance_if_full(g):
         full = g.num_frames >= cfg.backend.max_frames
-        g = jax.lax.cond(
-            full,
-            lambda s: advance_fn(s, cfg.backend),
-            lambda s: s,
-            g,
+        return jax.lax.cond(
+            full, lambda s: advance_fn(s, cfg.backend), lambda s: s, g
         )
-        g = update_fn(g, packet, intr, cfg.backend)
-        g = optimize_fn(g, cfg.backend)
-        new_state = PipelineState(frontend=fe_state, graph=g)
+
+    def _outputs(g, packet):
         latest = jnp.clip(g.num_frames - 1, 0, cfg.backend.max_frames - 1)
-        outputs = {
+        return {
             "X_world_cam": g.X[latest],
             "object_ids": g.obj_ids,
             "object_motions": g.H[:, latest],
             "object_motion_valid": g.H_valid[:, latest],
             "frontend_pose": packet.X_world_cam,
         }
-        return new_state, outputs
+
+    if pipelined:
+
+        def step(state: PipelineState, inputs: FrameInputs):
+            # frontend(k) and optimize(window through k-1) are independent —
+            # XLA runs them concurrently.
+            fe_state, packet = frontend_step(
+                state.frontend, inputs, intr, cfg.frontend
+            )
+            g = optimize_fn(state.graph, cfg.backend)
+            g = _advance_if_full(g)
+            g = update_fn(g, packet, intr, cfg.backend)
+            new_state = PipelineState(frontend=fe_state, graph=g)
+            return new_state, _outputs(g, packet)
+
+    else:
+
+        def step(state: PipelineState, inputs: FrameInputs):
+            fe_state, packet = frontend_step(
+                state.frontend, inputs, intr, cfg.frontend
+            )
+            g = _advance_if_full(state.graph)
+            g = update_fn(g, packet, intr, cfg.backend)
+            g = optimize_fn(g, cfg.backend)
+            new_state = PipelineState(frontend=fe_state, graph=g)
+            return new_state, _outputs(g, packet)
 
     return step
 
