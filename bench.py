@@ -58,9 +58,9 @@ def build():
                 # fixed-batch RANSAC: 256 hypotheses of 3 points give
                 # P(miss) < 1e-7 at 50% inliers — statistically equivalent to
                 # the reference's 500 adaptive iterations
-                camera=RansacParams(ransac_iterations=256),
+                camera=RansacParams(ransac_iterations=128),
                 object=RansacParams(ransac_iterations=128, min_inliers=8),
-                refinement_iterations=4,
+                refinement_iterations=3,
                 object_refinement_iterations=2,
                 refit_rounds=1,
             ),
@@ -107,7 +107,9 @@ def build():
     dense = DenseScenario(spec, intr, ground_y=1.6, far_depth=60.0, object_half_extent=1.6)
 
     frames = [jax.device_put(dense.frame(k)) for k in range(DISTINCT_FRAMES)]
-    step = jax.jit(make_fused_step(cfg, intr))
+    # donate the state: the (~30 MB) pipeline state is consumed and rebuilt
+    # every step — donation makes the update in-place in HBM
+    step = jax.jit(make_fused_step(cfg, intr), donate_argnums=0)
     state = init_pipeline_state(cfg)
     return step, state, frames
 

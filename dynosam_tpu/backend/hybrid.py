@@ -296,10 +296,21 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     # Schur corrections over points (Hpp diagonal!)
     inv_sw_d = 1.0 / sw_d
     Sxx_c = lie.einsum("lfab,l,lgcb->fagc", Ax_d, inv_sw_d, Ax_d)
-    Sxh_c = lie.einsum("lfab,l,lgcb,lj->jfagc", Ax_d, inv_sw_d, Ah_d, onehot)
-    Shh_c = lie.einsum("lfab,l,lgcb,lj->jfagc", Ah_d, inv_sw_d, Ah_d, onehot)
     rx_c = lie.einsum("lfab,l,lb->fa", Ax_d, inv_sw_d, g_d)
-    rh_c = lie.einsum("lfab,l,lb,lj->jfa", Ah_d, inv_sw_d, g_d, onehot)
+    # per-object Schur blocks as J explicit weighted matmuls — cheaper on TPU
+    # than the 4-operand einsum's (Ld,F,6,F,6) intermediate
+    Ax2 = Ax_d.reshape(Ld, F * 6, 3)
+    Ah2 = Ah_d.reshape(Ld, F * 6, 3)
+    Sxh_list, Shh_list, rh_list = [], [], []
+    for j in range(J):
+        wj = inv_sw_d * onehot[:, j]
+        Ahw = Ah2 * wj[:, None, None]
+        Sxh_list.append(lie.einsum("lab,lcb->ac", Ax2, Ahw))
+        Shh_list.append(lie.einsum("lab,lcb->ac", Ah2, Ahw))
+        rh_list.append(lie.einsum("lab,l,lb->a", Ah2, wj, g_d))
+    Sxh_c = jnp.stack(Sxh_list).reshape(J, F, 6, F, 6)
+    Shh_c = jnp.stack(Shh_list).reshape(J, F, 6, F, 6)
+    rh_c = jnp.stack(rh_list).reshape(J, F, 6)
 
     S = S.at[: 6 * F, : 6 * F].add(-Sxx_c.reshape(6 * F, 6 * F))
     rhs = rhs.at[: 6 * F].add(rx_c.reshape(-1))
