@@ -315,3 +315,19 @@ def _update_object_slots(obj_ids, d_oid, d_valid):
 
     obj_ids, _ = jax.lax.scan(admit, obj_ids, None, length=J)
     return obj_ids
+
+
+def propagate_mask(prev_mask, flow):
+    """Advect the previous instance mask to the current frame with dense flow.
+
+    Reference parity: FeatureTracker::propogateMask
+    (/root/reference/dynosam/src/frontend/vision/FeatureTracker.cc:1212) —
+    used when object detections lag or lack tracked ids. Gather-based
+    approximation: label(p) = prev_mask(p - flow(p)) treating the flow as
+    locally constant (exact inverse warping would need backward flow)."""
+    H, W = prev_mask.shape
+    u = jnp.arange(W, dtype=flow.dtype)[None, :].repeat(H, 0)
+    v = jnp.arange(H, dtype=flow.dtype)[:, None].repeat(W, 1)
+    uv = jnp.stack([u, v], axis=-1)
+    src = uv - flow
+    return interp.sample_nearest(prev_mask, src)

@@ -109,3 +109,38 @@ class TestMotion:
             np.testing.assert_allclose(
                 lie.compose(X_prev, odom), X_k, atol=1e-5
             )
+
+
+class TestAuxOps:
+    def test_propagate_mask(self):
+        from dynosam_tpu.frontend.tracker import propagate_mask
+
+        mask = jnp.zeros((20, 30), jnp.int32).at[5:10, 8:14].set(3)
+        flow = jnp.full((20, 30, 2), 2.0)  # everything shifts +2 px
+        warped = propagate_mask(mask, flow)
+        # shifted block occupies rows 7-11, cols 10-15
+        assert int(warped[5, 8]) == 0   # vacated top-left corner
+        assert int(warped[11, 15]) == 3
+        assert int(warped[7, 10]) == 3
+
+    def test_packet_serialization_roundtrip(self, tmp_path):
+        from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
+        from dynosam_tpu.frontend.serialization import (
+            PacketReplayProvider,
+            load_packets,
+            save_packets,
+        )
+
+        scn = Scenario(ScenarioSpec.default_two_objects(num_frames=3))
+        packets = [scn.measurements(k, 4) for k in range(3)]
+        p = str(tmp_path / "frontend_packets.npz")
+        save_packets(p, packets)
+        back = load_packets(p)
+        assert len(back) == 3
+        np.testing.assert_allclose(
+            back[2].X_world_cam, packets[2].X_world_cam, atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            back[1].dynamic_tracks.tracklet_id, packets[1].dynamic_tracks.tracklet_id
+        )
+        assert len(PacketReplayProvider(p)) == 3
