@@ -179,26 +179,28 @@ class KittiDataProvider:
             cv2.COLOR_BGR2RGB,
         ).astype(np.float32) / 255.0
 
+        from dynosam_tpu import native
+
         raw = cv2.imread(
             os.path.join(self.path, "depth", name + ".png"), cv2.IMREAD_UNCHANGED
-        ).astype(np.float64)
-        with np.errstate(divide="ignore"):
-            depth = np.where(
-                raw > 0, self.base_line / (raw / self.depth_scale_factor), 0.0
-            ).astype(np.float32)
+        )
+        depth = native.disparity_to_depth(
+            raw.astype(np.uint16), self.base_line, self.depth_scale_factor
+        )
 
         # frame k carries the (k-1 -> k) flow = flow file k-1 (see module doc)
         if k > 0:
-            flow = read_flo(
-                os.path.join(self.path, "flow", f"{k - 1:06d}.flo")
+            flow = native.read_flo(
+                os.path.join(self.path, "flow", f"{k - 1:06d}.flo"),
+                self._h, self._w,
             )
         else:
             flow = np.zeros((self._h, self._w, 2), np.float32)
 
         if self.mask_format == "txt":
-            mask = read_txt_mask(
+            mask = native.read_txt_mask(
                 os.path.join(self.path, self.mask_folder, name + ".txt"),
-                (self._h, self._w),
+                self._h, self._w,
             )
         else:
             mask = cv2.imread(
