@@ -75,10 +75,17 @@ class RegularBackend:
         # parity): 0 = WCME (MotionInWorld), 3 = hybrid (object-centric
         # keyframed — the reference's ParallelHybrid, objects batched).
         self.hybrid = cfg.backend_updater_enum == 3
+        self.wcpe = cfg.backend_updater_enum == 1
         if self.hybrid:
             update_fn = graph.update_from_packet_hybrid
             optimize_fn = hybrid.optimize
             advance_fn = window.advance_hybrid
+        elif self.wcpe:
+            from dynosam_tpu.backend import wcpe
+
+            update_fn = wcpe.update_from_packet_wcpe
+            optimize_fn = wcpe.optimize
+            advance_fn = window.advance_wcpe
         else:
             update_fn = graph.update_from_packet
             optimize_fn = solver.optimize
@@ -122,7 +129,13 @@ class RegularBackend:
     def _device_outputs(self, st):
         """Jitted accessor: canonical outputs from the graph state."""
         f = jnp.clip(st.num_frames - 1, 0, st.F - 1)
-        if self.hybrid:
+        if self.wcpe:
+            from dynosam_tpu.backend import wcpe as wcpe_mod
+
+            H_out = wcpe_mod.f2f_motion(st, f)
+            md_world = st.md[:, f]
+            obj_pose = st.H[:, f]
+        elif self.hybrid:
             H_out = hybrid.f2f_motion(st, f)          # F2F for output parity
             md_world = lie.transform_points(
                 hybrid.object_pose(st, f)[
@@ -155,8 +168,8 @@ class RegularBackend:
         d_obj = np.asarray(st.d_obj)
         d_valid = np.asarray(st.d_valid[:, f])
         md = dev["md_world"]
-        if self.hybrid:
-            # hybrid: object poses are direct state L_k = H_{e,k} L_e
+        if self.hybrid or self.wcpe:
+            # hybrid/WCPE: object poses are direct state
             obj_poses = dev["obj_pose"]
             for j, oid in enumerate(obj_ids):
                 if int(oid) > 0:
@@ -221,4 +234,8 @@ class RegularBackend:
             return None
         if self.hybrid:
             return np.asarray(hybrid.f2f_motion(self.state, f)[j])
+        if self.wcpe:
+            from dynosam_tpu.backend import wcpe
+
+            return np.asarray(wcpe.f2f_motion(self.state, f)[j])
         return np.asarray(self.state.H[j, f])

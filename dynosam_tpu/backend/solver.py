@@ -223,6 +223,18 @@ def _block_diag_embed(blocks):
     return out.reshape(out.shape[:-4] + (6 * F, 6 * F))
 
 
+def _embed_same_frame(blk, F):
+    """blk (Ld, F, A, B) -> (Ld, F, A, F, B) nonzero at [f, :, f, :]."""
+    eyeF = jnp.eye(F, dtype=blk.dtype)
+    return lie.einsum("lfab,fg->lfagb", blk, eyeF)
+
+
+def _embed_prev_frame(blk, F):
+    """blk (Ld, F, A, B) placed at [f, :, f-1, :]."""
+    E = jnp.eye(F, k=1, dtype=blk.dtype)  # E[g, f] = 1 iff g = f-1
+    return lie.einsum("lfab,gf->lfagb", blk, E)
+
+
 def _shift_frame_down(x, axis):
     """out[..., f, ...] = x[..., f-1, ...] along `axis` (zero at f=0)."""
     pad = [(0, 0)] * x.ndim

@@ -402,3 +402,84 @@ def advance_hybrid(state: GraphState, cfg: BackendParams) -> GraphState:
     """Hybrid-formulation window advance (marginalise + roll). Jittable."""
     M, g = _departing_information_hybrid(state, cfg)
     return _eliminate_and_roll(state, cfg, M, g)
+
+
+# ---------------------------------------------------------------------------
+# WCPE-formulation advance
+# ---------------------------------------------------------------------------
+
+def _departing_information_wcpe(state: GraphState, cfg: BackendParams):
+    """Departing-factor information for the world-centric POSE formulation:
+    the slot-(0,1) motion-pose factors (points held fixed) give a coupled
+    (L_0, L_1) block per object; plus odometry(0,1), the gauge prior, and
+    the previous marginal prior."""
+    from dynosam_tpu.backend import wcpe as wp
+    from dynosam_tpu.backend.solver import _object_onehot
+
+    F, J = state.F, state.J
+    D = state.D
+    dtype = state.X.dtype
+    sig = _sigmas(cfg, dtype)
+
+    M = jnp.zeros((D, D), dtype)
+    g = jnp.zeros((D,), dtype)
+
+    onehot = _object_onehot(state, dtype)
+    r_t, RG, J_L = wp._pose_chain_terms(state, onehot)
+    mask = wp._pose_chain_mask(state, onehot)
+    w = mask[:, 1].astype(dtype) / (sig["ternary"] ** 2)      # factor at f=1
+
+    JL1 = J_L[:, 1]                                           # (Ld, 3, 6)
+    r1 = r_t[:, 1]
+    H11 = lie.einsum("lba,l,lbc->lac", JL1, w, JL1)           # (Ld,6,6)
+    g1 = lie.einsum("lba,l,lb->la", JL1, w, r1)
+    H11_obj = lie.einsum("lac,lj->jac", H11, onehot)
+    g1_obj = lie.einsum("la,lj->ja", g1, onehot)
+
+    off0 = 6 * F
+    for j in range(J):
+        o0 = off0 + 6 * (j * F + 0)                           # L_{j,0}
+        o1 = off0 + 6 * (j * F + 1)                           # L_{j,1}
+        # J_{L_0} = -J_{L_1}: blocks (0,0)=H, (1,1)=H, (0,1)=-H
+        M = M.at[o0 : o0 + 6, o0 : o0 + 6].add(H11_obj[j])
+        M = M.at[o1 : o1 + 6, o1 : o1 + 6].add(H11_obj[j])
+        M = M.at[o0 : o0 + 6, o1 : o1 + 6].add(-H11_obj[j])
+        M = M.at[o1 : o1 + 6, o0 : o0 + 6].add(-H11_obj[j])
+        g = g.at[o1 : o1 + 6].add(g1_obj[j])
+        g = g.at[o0 : o0 + 6].add(-g1_obj[j])
+
+    if cfg.use_vo_factor:
+        r_o = factors.between_residual(state.X[0], state.X[1], state.odom[1])
+        J_A, J_B = factors.between_jacobians(
+            state.X[0], state.X[1], state.odom[1], r=r_o
+        )
+        active = (state.odom_valid[1] & (state.num_frames > 1)).astype(dtype)
+        wv = active / sig["odom"] ** 2
+        JAw = jnp.swapaxes(J_A, -1, -2) * wv
+        JBw = jnp.swapaxes(J_B, -1, -2) * wv
+        M = M.at[:6, :6].add(JAw @ J_A)
+        M = M.at[6:12, 6:12].add(JBw @ J_B)
+        M = M.at[:6, 6:12].add(JAw @ J_B)
+        M = M.at[6:12, :6].add((JAw @ J_B).T)
+        g = g.at[:6].add(JAw @ r_o)
+        g = g.at[6:12].add(JBw @ r_o)
+
+    gauge_on = (~state.prior_valid).astype(dtype)
+    r_p = factors.prior_residual(state.X[0], state.X0_prior)
+    J_p = factors.prior_jacobian(state.X[0], state.X0_prior, r=r_p)
+    w_p = gauge_on / sig["prior0"] ** 2
+    M = M.at[:6, :6].add(w_p * (jnp.swapaxes(J_p, -1, -2) @ J_p))
+    g = g.at[:6].add(w_p * (jnp.swapaxes(J_p, -1, -2) @ r_p))
+
+    dx_lin = _prior_dx(state)
+    r_mp = state.prior_b + state.prior_L @ dx_lin
+    pv = state.prior_valid.astype(dtype)
+    M = M + pv * lie.mm(state.prior_L.T, state.prior_L)
+    g = g + pv * (state.prior_L.T @ r_mp)
+    return M, g
+
+
+def advance_wcpe(state: GraphState, cfg: BackendParams) -> GraphState:
+    """WCPE window advance (marginalise + roll). Jittable."""
+    M, g = _departing_information_wcpe(state, cfg)
+    return _eliminate_and_roll(state, cfg, M, g)
