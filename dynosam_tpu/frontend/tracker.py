@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from dynosam_tpu.config import FrontendParams
+from dynosam_tpu.nn import bytetrack as bt
 from dynosam_tpu.ops import interp
 
 
@@ -46,6 +47,9 @@ class TrackerState:
     # object slots (stable across frames, like ByteTrack ids)
     obj_ids: jnp.ndarray     # (J,) int32, -1 free
     next_tid: jnp.ndarray    # () int32 tracklet id counter
+    # object-level tracker for untracked instance masks
+    # (prefer_provided_object_detection = False)
+    bt_state: bt.ByteTrackState
 
 
 def empty_tracker_state(params: FrontendParams, dtype=jnp.float32) -> TrackerState:
@@ -66,6 +70,7 @@ def empty_tracker_state(params: FrontendParams, dtype=jnp.float32) -> TrackerSta
         d_valid=jnp.zeros((nd,), bool),
         obj_ids=jnp.full((j,), -1, jnp.int32),
         next_tid=jnp.array(0, jnp.int32),
+        bt_state=bt.empty_state(capacity=2 * j),
     )
 
 
@@ -170,6 +175,24 @@ def track_frame(
             & (uv[:, 1] <= H - 1 - border_v)
         )
 
+    # ======== object-level tracking of untracked masks ===================
+    # With prefer_provided_object_detection=False the instance mask carries
+    # per-frame detector labels without temporal identity (the reference runs
+    # YOLO+ByteTrack here, FeatureTracker.cc:104-105). Relabel via the
+    # batched ByteTrack so downstream object ids are persistent.
+    bt_state = state.bt_state
+    if not tp.prefer_provided_object_detection:
+        max_dets = 2 * params.max_objects
+        boxes, scores, det_valid, det_labels = bt.masks_to_detections(
+            mask, max_dets=max_dets
+        )
+        bt_state, det_ids = bt.bytetrack_step(bt_state, boxes, scores, det_valid)
+        remap = jnp.zeros((max_dets + 2,), jnp.int32)
+        remap = remap.at[jnp.clip(det_labels, 0, max_dets + 1)].set(
+            jnp.where(det_valid & (det_ids > 0), det_ids, 0)
+        )
+        mask = remap[jnp.clip(mask, 0, max_dets + 1)]
+
     # ======== propagate static tracks ====================================
     flow_s = interp.sample_flow(flow, state.s_uv)
     s_uv = state.s_uv + flow_s
@@ -177,7 +200,7 @@ def track_frame(
     s_depth = interp.sample_depth(depth, s_uv).astype(dtype)
     s_ok = (
         state.s_valid
-        & (~first_frame)
+        & jnp.logical_not(first_frame)
         & in_bounds(s_uv)
         & (s_label == 0)
         & (s_depth > 0)
@@ -193,7 +216,7 @@ def track_frame(
     flow_mag = jnp.linalg.norm(flow_d, axis=-1)
     d_ok = (
         state.d_valid
-        & (~first_frame)
+        & jnp.logical_not(first_frame)
         & in_bounds(d_uv)
         & (d_label == state.d_oid)      # label consistency (trackDynamic:412)
         & (d_label > 0)
@@ -283,6 +306,7 @@ def track_frame(
         d_valid=d_valid,
         obj_ids=obj_ids,
         next_tid=next_tid,
+        bt_state=bt_state,
     )
 
 

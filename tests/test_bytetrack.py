@@ -80,3 +80,42 @@ def test_masks_to_detections():
     assert v[1] and v[4] and v.sum() == 2  # labels 2 and 5
     np.testing.assert_allclose(np.asarray(boxes_[1]), [10, 5, 25, 15], atol=1e-5)
     np.testing.assert_allclose(np.asarray(boxes_[4]), [40, 20, 50, 30], atol=1e-5)
+
+
+def test_tracker_relabels_untracked_masks():
+    """Frontend tracker + ByteTrack: per-frame detector labels without
+    temporal identity get persistent object ids."""
+    import dataclasses
+
+    from dynosam_tpu.config import FrontendParams, TrackerParams
+    from dynosam_tpu.frontend.tracker import empty_tracker_state, track_frame
+
+    params = FrontendParams(
+        max_objects=4,
+        tracker=TrackerParams(
+            max_features_per_frame=64,
+            min_features_per_frame=16,
+            max_dynamic_features_per_frame=64,
+            detection_cell_size=8,
+            min_corner_response=1e-9,
+            prefer_provided_object_detection=False,
+        ),
+    )
+    H, W = 64, 96
+    gray = jnp.asarray(np.random.default_rng(0).random((H, W), np.float32))
+    depth = jnp.full((H, W), 8.0)
+    flow = jnp.zeros((H, W, 2))
+
+    state = empty_tracker_state(params)
+    seen_ids = []
+    for k in range(4):
+        # one object whose raw label CHANGES every frame (untracked detector)
+        raw_label = (k % 3) + 1
+        mask = jnp.zeros((H, W), jnp.int32).at[20:40, 30:60].set(raw_label)
+        state = track_frame(state, gray, depth, flow, mask, params,
+                            first_frame=(k == 0))
+        ids = np.asarray(state.obj_ids)
+        seen_ids.append(set(ids[ids > 0]))
+    # the relabeled object keeps ONE persistent id across frames
+    assert len(seen_ids[1]) == 1
+    assert seen_ids[1] == seen_ids[2] == seen_ids[3]
