@@ -52,6 +52,9 @@ class GraphState:
     d_obj: jnp.ndarray       # (Ld,) int32 object SLOT index per dyn tracklet, -1 unused
     d_z: jnp.ndarray         # (Ld, F, 3)
     d_valid: jnp.ndarray     # (Ld, F) bool
+    # per-measurement noise sigmas (range-dependent model; see NoiseParams)
+    s_sig: jnp.ndarray       # (F, Ls)
+    d_sig: jnp.ndarray       # (Ld, F)
     odom: jnp.ndarray        # (F, 4, 4) measured T_{k-1,k} (slot f-1 -> f)
     odom_valid: jnp.ndarray  # (F,) bool
     X0_prior: jnp.ndarray    # (4, 4) gauge prior on the oldest pose slot
@@ -115,6 +118,8 @@ def empty_graph(cfg: BackendParams, dtype=jnp.float32) -> GraphState:
         d_obj=jnp.full((Ld,), -1, jnp.int32),
         d_z=jnp.zeros((Ld, F, 3), dtype),
         d_valid=jnp.zeros((Ld, F), bool),
+        s_sig=jnp.full((F, Ls), cfg.noise.static_point_noise_sigma, dtype),
+        d_sig=jnp.full((Ld, F), cfg.noise.dynamic_point_noise_sigma, dtype),
         odom=jnp.broadcast_to(eye, (F, 4, 4)),
         odom_valid=jnp.zeros((F,), bool),
         X0_prior=eye,
@@ -170,6 +175,18 @@ def _match_or_allocate_objects(obj_ids, packet_obj_ids, packet_obj_valid):
     return new_obj_ids, packet_slot.astype(jnp.int32)
 
 
+def _measurement_sigma(depth, base_sigma, pixel_sigma, intr, cfg):
+    """Per-observation isotropic noise sigma from the stereo/RGB-D range
+    model: lateral ~ s_px z / fx, depth ~ s_px z^2 / (fx b). Conservative
+    isotropic bound = max of the three terms."""
+    if not cfg.noise.use_range_dependent_noise:
+        return jnp.full_like(depth, base_sigma)
+    z = jnp.clip(depth, 0.0, None)
+    lat = pixel_sigma * z / intr.fx
+    rng = pixel_sigma * z * z / (intr.fx * jnp.maximum(intr.baseline, 1e-3))
+    return jnp.maximum(jnp.maximum(lat, rng), base_sigma)
+
+
 def update_from_packet(
     state: GraphState,
     packet: VisionPacket,
@@ -208,6 +225,12 @@ def update_from_packet(
     s_tid = jnp.where(obs_valid, st.tracklet_id, state.s_tid)
     s_valid = s_valid.at[f].set(obs_valid)
     s_z = state.s_z.at[f].set(z_local)
+    s_sig = state.s_sig.at[f].set(
+        _measurement_sigma(
+            st.depth, cfg.noise.static_point_noise_sigma,
+            cfg.noise.static_pixel_noise_sigma, intr, cfg,
+        )
+    )
     # Initialise landmark estimate at first observation (world frame).
     z_world = lie.transform_points(X_init, z_local)
     first_obs = obs_valid & (changed | ~jnp.any(state.s_valid, axis=0))
@@ -236,6 +259,12 @@ def update_from_packet(
     d_tid = jnp.where(d_obs_valid, dt.tracklet_id, state.d_tid)
     d_valid = d_valid.at[:, f].set(d_obs_valid)
     d_z = state.d_z.at[:, f].set(zd_local)
+    d_sig = state.d_sig.at[:, f].set(
+        _measurement_sigma(
+            dt.depth, cfg.noise.dynamic_point_noise_sigma,
+            cfg.noise.dynamic_pixel_noise_sigma, intr, cfg,
+        )
+    )
     # object slot per tracklet: map dt.object_id through obj_ids
     eq = dt.object_id[:, None] == obj_ids[None, :]            # (Ld, J)
     d_slot_new = jnp.where(
@@ -276,6 +305,8 @@ def update_from_packet(
         d_obj=d_obj,
         d_z=d_z,
         d_valid=d_valid,
+        s_sig=s_sig,
+        d_sig=d_sig,
         odom=odom,
         odom_valid=odom_valid,
         X0_prior=X0_prior,

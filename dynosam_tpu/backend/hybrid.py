@@ -172,7 +172,7 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 
     r_h, _, _, _ = _hybrid_obs_terms(state, onehot)
     mask = _obs_mask(state, onehot)
-    e = jnp.linalg.norm(r_h, axis=-1) / sig["dyn_pt"]
+    e = jnp.linalg.norm(r_h, axis=-1) / state.d_sig
     err += jnp.sum(jnp.where(mask, rho(e), 0.0))
 
     r_sm, _, _, _ = _smooth_triple_terms(state)
@@ -221,10 +221,10 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     # ================= static landmarks (same as WCME) ====================
     r_s, y_s = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e_s = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
+    e_s = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
     w_s = (state.s_valid & gate[None, :]).astype(dtype) * _irls_w(
         e_s, k_rob, use_rob
-    ) / (sig["static_pt"] ** 2)
+    ) / (state.s_sig ** 2)
 
     hat_y = lie.hat(y_s)
     Jx_s = jnp.concatenate(
@@ -247,9 +247,9 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     # ================= hybrid dynamic observations ========================
     r_h, y_h, q, RH = _hybrid_obs_terms(state, onehot)       # (Ld,F,3)...
     mask = _obs_mask(state, onehot)
-    e_h = jnp.linalg.norm(r_h, axis=-1) / sig["dyn_pt"]
+    e_h = jnp.linalg.norm(r_h, axis=-1) / state.d_sig
     w_h = mask.astype(dtype) * _irls_w(e_h, k_rob, use_rob) / (
-        sig["dyn_pt"] ** 2
+        state.d_sig ** 2
     )                                                        # (Ld, F)
 
     hat_yh = lie.hat(y_h)

@@ -178,11 +178,11 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 
     r_s, _ = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
+    e = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
     err += jnp.sum(jnp.where(state.s_valid & gate[None, :], rho(e), 0.0))
 
     r_d, _ = _dyn_ptp_residuals(state)
-    e = jnp.linalg.norm(r_d, axis=-1) / sig["dyn_pt"]
+    e = jnp.linalg.norm(r_d, axis=-1) / state.d_sig
     err += jnp.sum(jnp.where(state.d_valid & (state.d_obj >= 0)[:, None], rho(e), 0.0))
 
     r_t, _, _ = _ternary_terms(state, onehot)
@@ -308,10 +308,10 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
     # ================= static landmarks ==================================
     r_s, y_s = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e_s = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
+    e_s = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
     w_s = (state.s_valid & gate[None, :]).astype(dtype) * _irls_w(
         e_s, k_rob, use_rob
-    ) / (sig["static_pt"] ** 2)                       # (F, Ls)
+    ) / (state.s_sig ** 2)                            # (F, Ls)
 
     hat_y = lie.hat(y_s)
     Jx_s = jnp.concatenate(
@@ -336,10 +336,10 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
     # ================= dynamic landmark chains ===========================
     r_d, y_d = _dyn_ptp_residuals(state)
     has_obj_f = jnp.sum(onehot, axis=1)               # (Ld,) 1.0 if assigned
-    e_d = jnp.linalg.norm(r_d, axis=-1) / sig["dyn_pt"]
+    e_d = jnp.linalg.norm(r_d, axis=-1) / state.d_sig
     w_d = state.d_valid.astype(dtype) * has_obj_f[:, None] * _irls_w(
         e_d, k_rob, use_rob
-    ) / (sig["dyn_pt"] ** 2)                          # (Ld, F)
+    ) / (state.d_sig ** 2)                            # (Ld, F)
 
     r_t, m_prev, Hj = _ternary_terms(state, onehot)
     mask_t = _ternary_mask(state, onehot)

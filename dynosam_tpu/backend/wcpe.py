@@ -161,11 +161,11 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 
     r_s, _ = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
+    e = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
     err += jnp.sum(jnp.where(state.s_valid & gate[None, :], rho(e), 0.0))
 
     r_d, _ = _dyn_ptp_residuals(state)
-    e = jnp.linalg.norm(r_d, axis=-1) / sig["dyn_pt"]
+    e = jnp.linalg.norm(r_d, axis=-1) / state.d_sig
     err += jnp.sum(jnp.where(state.d_valid & (state.d_obj >= 0)[:, None], rho(e), 0.0))
 
     r_t, _, _ = _pose_chain_terms(state, onehot)
@@ -241,10 +241,10 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _WcpeLin:
     # ---- static (same as WCME) -------------------------------------------
     r_s, y_s = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e_s = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
+    e_s = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
     w_s = (state.s_valid & gate[None, :]).astype(dtype) * _irls_w(
         e_s, k_rob, use_rob
-    ) / (sig["static_pt"] ** 2)
+    ) / (state.s_sig ** 2)
     hat_y = lie.hat(y_s)
     Jx_s = jnp.concatenate([hat_y, -jnp.broadcast_to(eye3, hat_y.shape)], axis=-1)
     sw_s = jnp.sum(w_s, axis=0) + _EPS_REG + lam
@@ -264,10 +264,10 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _WcpeLin:
     # ---- dynamic PTP + pose-chain factors --------------------------------
     r_d, y_d = _dyn_ptp_residuals(state)
     has_obj_f = jnp.sum(onehot, axis=1)
-    e_d = jnp.linalg.norm(r_d, axis=-1) / sig["dyn_pt"]
+    e_d = jnp.linalg.norm(r_d, axis=-1) / state.d_sig
     w_d = state.d_valid.astype(dtype) * has_obj_f[:, None] * _irls_w(
         e_d, k_rob, use_rob
-    ) / (sig["dyn_pt"] ** 2)
+    ) / (state.d_sig ** 2)
 
     r_t, RG, J_L = _pose_chain_terms(state, onehot)
     mask_t = _pose_chain_mask(state, onehot)

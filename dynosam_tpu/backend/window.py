@@ -60,7 +60,7 @@ def _departing_information(state: GraphState, cfg: BackendParams):
     z0 = state.d_z[:, 0]
     has_obj = state.d_obj >= 0
     w_ptp = (state.d_valid[:, 0] & has_obj).astype(dtype) / (
-        sig["dyn_pt"] ** 2
+        state.d_sig[:, 0] ** 2
     )                                                     # (Ld,)
 
     j_idx = jnp.clip(state.d_obj, 0, J - 1)
@@ -387,6 +387,8 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
         s_valid=roll0(state.s_valid),
         d_z=roll1(state.d_z),
         d_valid=roll1(state.d_valid),
+        s_sig=roll0(state.s_sig),
+        d_sig=roll1(state.d_sig),
         odom=jnp.concatenate([state.odom[1:], state.odom[-1:]], axis=0),
         odom_valid=roll0(state.odom_valid),
         kf_slot=jnp.maximum(state.kf_slot - 1, -1),

@@ -72,6 +72,9 @@ class TrackerParams:
     # detection grid cell size (GFTT+ANMS analogue: per-cell best corner)
     detection_cell_size: int = 16
     min_corner_response: float = 1e-4
+    # use fused Pallas kernels on TPU where available (falls back to XLA on
+    # other backends / unsupported shapes)
+    use_pallas_kernels: bool = True
 
 
 @dataclass
@@ -102,6 +105,12 @@ class NoiseParams:
     initial_pose_prior_sigma: float = 1e-4
     robust_k_huber: float = 1.345
     use_robust_kernel: bool = True
+    # Range-dependent measurement noise for 3D point observations: the
+    # stereo/RGB-D depth error grows ~ sigma_px * z^2 / (fx * baseline)
+    # (RGBDCamera "fake stereo" model). This plays the role of the
+    # reference's pixel-sigma projection factors (static_formulation_type=2)
+    # in the PTP parameterisation; without it far points are overweighted.
+    use_range_dependent_noise: bool = True
 
 
 @dataclass

@@ -228,7 +228,12 @@ def track_frame(
     # ======== detection: static (Shi-Tomasi + grid ANMS) =================
     cell = tp.detection_cell_size
     gh, gw = H // cell, W // cell
-    response = shi_tomasi_response(gray)
+    if tp.use_pallas_kernels and H % 64 == 0 and jax.default_backend() == "tpu":
+        from dynosam_tpu.ops.pallas.shi_tomasi import shi_tomasi_response_pallas
+
+        response = shi_tomasi_response_pallas(gray)
+    else:
+        response = shi_tomasi_response(gray)
     best, cu, cv = _cell_reduce(response, cell)
     cand_uv = jnp.stack([cu, cv], axis=-1)
     cand_label = interp.sample_label(mask, cand_uv)

@@ -7,7 +7,7 @@ import pytest
 
 from dynosam_tpu.backend import graph, solver, window
 from dynosam_tpu.backend.backend import RegularBackend
-from dynosam_tpu.config import BackendParams
+from dynosam_tpu.config import BackendParams, NoiseParams
 from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
 from dynosam_tpu.utils import lie
 
@@ -22,6 +22,8 @@ def small_cfg(**kw):
         max_dynamic_landmarks=96,
     )
     base.update(kw)
+    # simulator noise is range-independent; test the pure solver math
+    base.setdefault("noise", NoiseParams(use_range_dependent_noise=False))
     return BackendParams(**base)
 
 
@@ -208,3 +210,19 @@ class TestBackendModule:
         ck_gt = lie.transform_points(H_prod, c1)
         ck_est = lie.transform_points(L_k, jnp.zeros(3))  # L translation ~ centroid
         assert float(jnp.linalg.norm(ck_est - ck_gt)) < 0.05
+
+
+def test_range_dependent_sigma_ingestion(clean_scn):
+    """Measurement sigmas grow with range when the model is enabled."""
+    cfg = BackendParams(
+        max_frames=4, max_objects=MAX_OBJ,
+        max_static_landmarks=256, max_dynamic_landmarks=96,
+    )
+    st = graph.empty_graph(cfg)
+    st = graph.update_from_packet(st, clean_scn.measurements(0, MAX_OBJ), clean_scn.intr, cfg)
+    sig = np.asarray(st.s_sig[0])
+    depth = np.asarray(clean_scn.measurements(0, MAX_OBJ).static_tracks.depth)
+    valid = np.asarray(clean_scn.measurements(0, MAX_OBJ).static_tracks.valid)
+    near, far = valid & (depth < 10), valid & (depth > 30)
+    assert near.any() and far.any()
+    assert sig[far].mean() > 3 * sig[near].mean()

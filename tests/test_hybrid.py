@@ -7,7 +7,7 @@ import pytest
 
 from dynosam_tpu.backend import graph, hybrid, window
 from dynosam_tpu.backend.backend import RegularBackend
-from dynosam_tpu.config import BackendParams
+from dynosam_tpu.config import BackendParams, NoiseParams
 from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
 from dynosam_tpu.utils import lie
 
@@ -23,6 +23,8 @@ def hyb_cfg(**kw):
         backend_updater_enum=3,
     )
     base.update(kw)
+    # simulator noise is range-independent; test the pure solver math
+    base.setdefault("noise", NoiseParams(use_range_dependent_noise=False))
     return BackendParams(**base)
 
 

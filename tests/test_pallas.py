@@ -1,0 +1,17 @@
+"""Pallas kernel parity tests (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynosam_tpu.frontend.tracker import shi_tomasi_response
+from dynosam_tpu.ops.pallas.shi_tomasi import shi_tomasi_response_pallas
+
+
+def test_shi_tomasi_parity_interpret():
+    img = jnp.asarray(np.random.default_rng(0).random((128, 256), np.float32))
+    ref = shi_tomasi_response(img)
+    out = shi_tomasi_response_pallas(img, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out[4:-4, 4:-4]), np.asarray(ref[4:-4, 4:-4]), atol=1e-5
+    )

@@ -6,7 +6,7 @@ import pytest
 
 from dynosam_tpu.backend import graph, wcpe
 from dynosam_tpu.backend.backend import RegularBackend
-from dynosam_tpu.config import BackendParams
+from dynosam_tpu.config import BackendParams, NoiseParams
 from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
 from dynosam_tpu.utils import lie
 
@@ -22,6 +22,8 @@ def wcpe_cfg(**kw):
         backend_updater_enum=1,
     )
     base.update(kw)
+    # simulator noise is range-independent; test the pure solver math
+    base.setdefault("noise", NoiseParams(use_range_dependent_noise=False))
     return BackendParams(**base)
 
 
