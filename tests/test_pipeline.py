@@ -115,3 +115,32 @@ class TestPipeline:
         pipe = DynoPipeline(cfg, dense.intr)
         outs = pipe.run([dense.frame(k) for k in range(3)])
         assert len(outs) == 3
+
+
+class TestViz:
+    def test_rendering(self, tmp_path):
+        import numpy as np
+
+        from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
+        from dynosam_tpu.pipeline import viz
+        from dynosam_tpu.utils import lie
+        import jax.numpy as jnp
+
+        scn = Scenario(ScenarioSpec.default_two_objects(num_frames=3))
+        pkt = scn.measurements(1, 4)
+        rgb = np.zeros((480, 640, 3), np.float32)
+        img = viz.render_tracking_image(rgb, pkt)
+        assert img.shape == (480, 640, 3) and img.dtype == np.uint8
+        assert img.any()  # something was drawn
+
+        traj = np.stack([np.asarray(scn.X_gt[k]) for k in range(3)])
+        top = viz.render_trajectory_topdown(traj, {1: traj})
+        assert top.shape == (512, 512, 3)
+
+        w = viz.DisplayWriter(str(tmp_path))
+        w.write_tracking(rgb, pkt)
+        w.write_trajectory([t for t in traj])
+        import os
+        files = os.listdir(os.path.join(str(tmp_path), "viz"))
+        assert "tracking_000000.png" in files
+        assert "trajectory_topdown.png" in files
