@@ -63,10 +63,13 @@ class RegularBackend:
         if cfg.optimization_mode == 2:  # incremental: few warm-started GN iters
             import dataclasses
 
+            # warm-started LM with per-iteration accept/reject: plain GN
+            # (no rejection) diverges on weakly-conditioned windows — the
+            # cost evaluation is worth the accuracy (see ACCURACY.md)
             mode_cfg = dataclasses.replace(
                 cfg,
                 optimizer=dataclasses.replace(
-                    cfg.optimizer, max_iterations=3, accept_reject=False
+                    cfg.optimizer, max_iterations=3, accept_reject=True
                 ),
             )
         self._opt_cfg = mode_cfg

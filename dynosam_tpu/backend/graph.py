@@ -52,9 +52,11 @@ class GraphState:
     d_obj: jnp.ndarray       # (Ld,) int32 object SLOT index per dyn tracklet, -1 unused
     d_z: jnp.ndarray         # (Ld, F, 3)
     d_valid: jnp.ndarray     # (Ld, F) bool
-    # per-measurement noise sigmas (range-dependent model; see NoiseParams)
-    s_sig: jnp.ndarray       # (F, Ls)
-    d_sig: jnp.ndarray       # (Ld, F)
+    # per-measurement noise sigmas [lateral, lateral, depth] in the CAMERA
+    # frame (anisotropic range model; see NoiseParams) — point residuals are
+    # camera-frame, so the weight matrix is diagonal per observation
+    s_sig: jnp.ndarray       # (F, Ls, 3)
+    d_sig: jnp.ndarray       # (Ld, F, 3)
     odom: jnp.ndarray        # (F, 4, 4) measured T_{k-1,k} (slot f-1 -> f)
     odom_valid: jnp.ndarray  # (F,) bool
     X0_prior: jnp.ndarray    # (4, 4) gauge prior on the oldest pose slot
@@ -118,8 +120,8 @@ def empty_graph(cfg: BackendParams, dtype=jnp.float32) -> GraphState:
         d_obj=jnp.full((Ld,), -1, jnp.int32),
         d_z=jnp.zeros((Ld, F, 3), dtype),
         d_valid=jnp.zeros((Ld, F), bool),
-        s_sig=jnp.full((F, Ls), cfg.noise.static_point_noise_sigma, dtype),
-        d_sig=jnp.full((Ld, F), cfg.noise.dynamic_point_noise_sigma, dtype),
+        s_sig=jnp.full((F, Ls, 3), cfg.noise.static_point_noise_sigma, dtype),
+        d_sig=jnp.full((Ld, F, 3), cfg.noise.dynamic_point_noise_sigma, dtype),
         odom=jnp.broadcast_to(eye, (F, 4, 4)),
         odom_valid=jnp.zeros((F,), bool),
         X0_prior=eye,
@@ -176,15 +178,24 @@ def _match_or_allocate_objects(obj_ids, packet_obj_ids, packet_obj_valid):
 
 
 def _measurement_sigma(depth, base_sigma, pixel_sigma, intr, cfg):
-    """Per-observation isotropic noise sigma from the stereo/RGB-D range
-    model: lateral ~ s_px z / fx, depth ~ s_px z^2 / (fx b). Conservative
-    isotropic bound = max of the three terms."""
+    """Per-observation noise sigmas [lat, lat, z] (camera frame).
+
+    Stereo/RGB-D range model: lateral error ~ s_px * z / fx, depth error
+    ~ s_px * z^2 / (fx * baseline). Keeping the components separate preserves
+    the strong lateral (pixel) constraint at range — the same information
+    split as the reference's stereo-projection factors
+    (static_formulation_type=2) — while depth degrades quadratically.
+    Returns (..., 3)."""
     if not cfg.noise.use_range_dependent_noise:
-        return jnp.full_like(depth, base_sigma)
+        return jnp.full(depth.shape + (3,), base_sigma, depth.dtype)
     z = jnp.clip(depth, 0.0, None)
-    lat = pixel_sigma * z / intr.fx
-    rng = pixel_sigma * z * z / (intr.fx * jnp.maximum(intr.baseline, 1e-3))
-    return jnp.maximum(jnp.maximum(lat, rng), base_sigma)
+    cap = base_sigma * cfg.noise.max_range_sigma_scale
+    lat = jnp.clip(pixel_sigma * z / intr.fx, base_sigma, cap)
+    rng = jnp.clip(
+        pixel_sigma * z * z / (intr.fx * jnp.maximum(intr.baseline, 1e-3)),
+        base_sigma, cap,
+    )
+    return jnp.stack([lat, lat, rng], axis=-1)
 
 
 def update_from_packet(

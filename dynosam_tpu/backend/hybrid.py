@@ -51,16 +51,17 @@ from dynosam_tpu.backend.solver import (
     _static_residuals,
 )
 from dynosam_tpu.config import BackendParams
+from dynosam_tpu.ops import block_tridiag as bt
 from dynosam_tpu.utils import lie
 
 
 class _HybridLin(NamedTuple):
     S: jnp.ndarray
     rhs: jnp.ndarray
-    sw_s: jnp.ndarray
+    Hpp_inv_s: jnp.ndarray  # (Ls, 3, 3)
     g_s: jnp.ndarray
     A_s: jnp.ndarray      # (F, Ls, 6, 3) static cross blocks
-    sw_d: jnp.ndarray     # (Ld,) hybrid point Hpp = sw * I
+    Hpp_inv_d: jnp.ndarray  # (Ld, 3, 3) point Hessian inverses
     g_d: jnp.ndarray      # (Ld, 3)
     Ax_d: jnp.ndarray     # (Ld, F, 6, 3) pose cross blocks
     Ah_d: jnp.ndarray     # (Ld, F, 6, 3) motion cross blocks
@@ -172,7 +173,7 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 
     r_h, _, _, _ = _hybrid_obs_terms(state, onehot)
     mask = _obs_mask(state, onehot)
-    e = jnp.linalg.norm(r_h, axis=-1) / state.d_sig
+    e = jnp.linalg.norm(r_h / state.d_sig, axis=-1)
     err += jnp.sum(jnp.where(mask, rho(e), 0.0))
 
     r_sm, _, _, _ = _smooth_triple_terms(state)
@@ -221,36 +222,38 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     # ================= static landmarks (same as WCME) ====================
     r_s, y_s = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e_s = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
-    w_s = (state.s_valid & gate[None, :]).astype(dtype) * _irls_w(
+    e_s = jnp.linalg.norm(r_s / state.s_sig, axis=-1)
+    iw_s = (state.s_valid & gate[None, :]).astype(dtype)[..., None] * _irls_w(
         e_s, k_rob, use_rob
-    ) / (state.s_sig ** 2)
+    )[..., None] / (state.s_sig ** 2)
 
     hat_y = lie.hat(y_s)
     Jx_s = jnp.concatenate(
         [hat_y, -jnp.broadcast_to(eye3, hat_y.shape)], axis=-1
     )
-    sw_s = jnp.sum(w_s, axis=0) + _EPS_REG + lam
-    g_s = lie.einsum("fab,flb,fl->la", R, r_s, w_s)
-    A_s = lie.einsum("flba,fl,fbc->flac", Jx_s, w_s, Rt)
-    Hxx_s = lie.einsum("flab,fl,flac->fbc", Jx_s, w_s, Jx_s)
-    gx_s = lie.einsum("flab,fl,fla->fb", Jx_s, w_s, r_s)
-    inv_sw = 1.0 / sw_s
-    S_pp = lie.einsum("flab,l,glcb->fagc", A_s, inv_sw, A_s)
+    Hpp_s = lie.einsum("fab,flb,fcb->lac", R, iw_s, R) + (
+        _EPS_REG + lam
+    ) * eye3
+    Hpp_inv_s = bt.inv3(Hpp_s)
+    g_s = lie.einsum("fab,flb->la", R, iw_s * r_s)
+    A_s = lie.einsum("flba,flb,fbc->flac", Jx_s, iw_s, Rt)
+    Hxx_s = lie.einsum("flab,fla,flac->fbc", Jx_s, iw_s, Jx_s)
+    gx_s = lie.einsum("flab,fla->fb", Jx_s, iw_s * r_s)
+    S_pp = lie.einsum("flab,lbc,gldc->fagd", A_s, Hpp_inv_s, A_s)
     S = S.at[: 6 * F, : 6 * F].add(
         _block_diag_embed(Hxx_s) - S_pp.reshape(6 * F, 6 * F)
     )
     rhs = rhs.at[: 6 * F].add(
-        (-gx_s + lie.einsum("flab,l,lb->fa", A_s, inv_sw, g_s)).reshape(-1)
+        (-gx_s + lie.einsum("flab,lbc,lc->fa", A_s, Hpp_inv_s, g_s)).reshape(-1)
     )
 
     # ================= hybrid dynamic observations ========================
     r_h, y_h, q, RH = _hybrid_obs_terms(state, onehot)       # (Ld,F,3)...
     mask = _obs_mask(state, onehot)
-    e_h = jnp.linalg.norm(r_h, axis=-1) / state.d_sig
-    w_h = mask.astype(dtype) * _irls_w(e_h, k_rob, use_rob) / (
-        state.d_sig ** 2
-    )                                                        # (Ld, F)
+    e_h = jnp.linalg.norm(r_h / state.d_sig, axis=-1)
+    iw_h = mask.astype(dtype)[..., None] * _irls_w(e_h, k_rob, use_rob)[
+        ..., None
+    ] / (state.d_sig ** 2)                                   # (Ld, F, 3)
 
     hat_yh = lie.hat(y_h)
     Jx = jnp.concatenate(
@@ -275,39 +278,43 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     Lj_R = jnp.where(assigned[:, None, None], Lj_R, eye3)
     Jm = lie.einsum("lfab,lbc->lfac", RtRH, Lj_R)            # (Ld,F,3,3)
 
-    sw_d = jnp.sum(w_h, axis=1) + _EPS_REG + lam             # (Ld,)
-    g_d = lie.einsum("lfba,lf,lfb->la", Jm, w_h, r_h)        # (Ld,3)
-    Ax_d = lie.einsum("lfba,lf,lfbc->lfac", Jx, w_h, Jm)     # (Ld,F,6,3)
-    Ah_d = lie.einsum("lfba,lf,lfbc->lfac", Jh, w_h, Jm)
+    # Hpp = sum_f Jm^T diag(iw) Jm (full 3x3)
+    Hpp_d = lie.einsum("lfba,lfb,lfbc->lac", Jm, iw_h, Jm) + (
+        _EPS_REG + lam
+    ) * eye3
+    Hpp_inv_d = bt.inv3(Hpp_d)                               # (Ld,3,3)
+    g_d = lie.einsum("lfba,lfb->la", Jm, iw_h * r_h)         # (Ld,3)
+    Ax_d = lie.einsum("lfba,lfb,lfbc->lfac", Jx, iw_h, Jm)   # (Ld,F,6,3)
+    Ah_d = lie.einsum("lfba,lfb,lfbc->lfac", Jh, iw_h, Jm)
 
     # direct blocks
-    Hxx_d = lie.einsum("lfab,lf,lfac->fbc", Jx, w_h, Jx)
-    gx_d = lie.einsum("lfab,lf,lfa->fb", Jx, w_h, r_h)
+    Hxx_d = lie.einsum("lfab,lfa,lfac->fbc", Jx, iw_h, Jx)
+    gx_d = lie.einsum("lfab,lfa->fb", Jx, iw_h * r_h)
     S = S.at[: 6 * F, : 6 * F].add(_block_diag_embed(Hxx_d))
     rhs = rhs.at[: 6 * F].add(-gx_d.reshape(-1))
 
-    Hhh_blk = lie.einsum("lfab,lf,lfac->lfbc", Jh, w_h, Jh)  # (Ld,F,6,6)
-    gh_blk = lie.einsum("lfab,lf,lfa->lfb", Jh, w_h, r_h)
-    Hxh_blk = lie.einsum("lfab,lf,lfac->lfbc", Jx, w_h, Jh)  # same-frame cross
+    Hhh_blk = lie.einsum("lfab,lfa,lfac->lfbc", Jh, iw_h, Jh)  # (Ld,F,6,6)
+    gh_blk = lie.einsum("lfab,lfa->lfb", Jh, iw_h * r_h)
+    Hxh_blk = lie.einsum("lfab,lfa,lfac->lfbc", Jx, iw_h, Jh)  # same-frame cross
     Hhh = lie.einsum("lfbc,lj->jfbc", Hhh_blk, onehot)       # (J,F,6,6)
     gh = lie.einsum("lfb,lj->jfb", gh_blk, onehot)
     Hxh = lie.einsum("lfbc,lj->jfbc", Hxh_blk, onehot)       # (J,F,6,6)
 
     # Schur corrections over points (Hpp diagonal!)
-    inv_sw_d = 1.0 / sw_d
-    Sxx_c = lie.einsum("lfab,l,lgcb->fagc", Ax_d, inv_sw_d, Ax_d)
-    rx_c = lie.einsum("lfab,l,lb->fa", Ax_d, inv_sw_d, g_d)
+    Sxx_c = lie.einsum("lfab,lbc,lgdc->fagd", Ax_d, Hpp_inv_d, Ax_d)
+    rx_c = lie.einsum("lfab,lbc,lc->fa", Ax_d, Hpp_inv_d, g_d)
     # per-object Schur blocks as J explicit weighted matmuls — cheaper on TPU
     # than the 4-operand einsum's (Ld,F,6,F,6) intermediate
     Ax2 = Ax_d.reshape(Ld, F * 6, 3)
     Ah2 = Ah_d.reshape(Ld, F * 6, 3)
+    AhPinv = lie.einsum("lab,lbc->lac", Ah2, Hpp_inv_d)   # (Ld, 6F, 3)
     Sxh_list, Shh_list, rh_list = [], [], []
     for j in range(J):
-        wj = inv_sw_d * onehot[:, j]
-        Ahw = Ah2 * wj[:, None, None]
-        Sxh_list.append(lie.einsum("lab,lcb->ac", Ax2, Ahw))
-        Shh_list.append(lie.einsum("lab,lcb->ac", Ah2, Ahw))
-        rh_list.append(lie.einsum("lab,l,lb->a", Ah2, wj, g_d))
+        oj = onehot[:, j]
+        AhPw = AhPinv * oj[:, None, None]
+        Sxh_list.append(lie.einsum("lab,lcb->ac", Ax2, AhPw))
+        Shh_list.append(lie.einsum("lab,lcb->ac", Ah2, AhPw))
+        rh_list.append(lie.einsum("lab,l,lb->a", AhPinv, oj, g_d))
     Sxh_c = jnp.stack(Sxh_list).reshape(J, F, 6, F, 6)
     Shh_c = jnp.stack(Shh_list).reshape(J, F, 6, F, 6)
     rh_c = jnp.stack(rh_list).reshape(J, F, 6)
@@ -387,8 +394,8 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
 
     return _HybridLin(
-        S=S, rhs=rhs, sw_s=sw_s, g_s=g_s, A_s=A_s,
-        sw_d=sw_d, g_d=g_d, Ax_d=Ax_d, Ah_d=Ah_d, onehot=onehot,
+        S=S, rhs=rhs, Hpp_inv_s=Hpp_inv_s, g_s=g_s, A_s=A_s,
+        Hpp_inv_d=Hpp_inv_d, g_d=g_d, Ax_d=Ax_d, Ah_d=Ah_d, onehot=onehot,
     )
 
 
@@ -410,15 +417,28 @@ def _apply_update(state: GraphState, lin: _HybridLin, dx):
     H_new = lie.retract(state.H, dH)
 
     At_dx = lie.einsum("flab,fa->lb", lin.A_s, dX)
-    ms_new = state.ms + (-lin.g_s - At_dx) / lin.sw_s[:, None]
+    ms_new = state.ms + lie.einsum(
+        "lab,lb->la", lin.Hpp_inv_s, -lin.g_s - At_dx
+    )
 
     dh_l = lie.einsum("lj,jfc->lfc", lin.onehot, dH)
     corr = lie.einsum("lfab,fa->lb", lin.Ax_d, dX) + lie.einsum(
         "lfab,lfa->lb", lin.Ah_d, dh_l
     )
-    m_hyb_new = state.m_hyb + (-lin.g_d - corr) / lin.sw_d[:, None]
+    m_hyb_new = state.m_hyb + lie.einsum(
+        "lab,lb->la", lin.Hpp_inv_d, -lin.g_d - corr
+    )
 
     return state.replace(X=X_new, H=H_new, ms=ms_new, m_hyb=m_hyb_new)
+
+
+
+def _clip_step(dx, max_step):
+    """Scale 6-dof tangent blocks so none exceeds max_step (GN trust region)."""
+    blocks = dx.reshape(-1, 6)
+    norms = jnp.linalg.norm(blocks, axis=-1, keepdims=True)
+    scale = jnp.minimum(1.0, max_step / jnp.clip(norms, 1e-12, None))
+    return (blocks * scale).reshape(-1)
 
 
 def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
@@ -434,7 +454,7 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
 
         def gn_step(st, _):
             lin = linearize(st, cfg, lam)
-            cand = _apply_update(st, lin, solve_dx(lin))
+            cand = _apply_update(st, lin, _clip_step(solve_dx(lin), op.gn_max_step))
             ok = jnp.isfinite(cand.X).all() & jnp.isfinite(cand.H).all()
             st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
             return st, None

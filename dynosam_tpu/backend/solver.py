@@ -61,8 +61,8 @@ def _irls_w(e, k, use_robust):
 class _Linearization(NamedTuple):
     S: jnp.ndarray        # (D, D) reduced Hessian (damped)
     rhs: jnp.ndarray      # (D,)
-    # static landmark backsub (Hpp = sw * I)
-    sw_s: jnp.ndarray     # (Ls,)
+    # static landmark backsub (full 3x3 point Hessians)
+    Hpp_inv_s: jnp.ndarray  # (Ls, 3, 3)
     g_s: jnp.ndarray      # (Ls, 3)
     A_s: jnp.ndarray      # (F, Ls, 6, 3)
     # dynamic chain backsub (block-tridiagonal factorisation + cross blocks)
@@ -178,11 +178,11 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 
     r_s, _ = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
+    e = jnp.linalg.norm(r_s / state.s_sig, axis=-1)
     err += jnp.sum(jnp.where(state.s_valid & gate[None, :], rho(e), 0.0))
 
     r_d, _ = _dyn_ptp_residuals(state)
-    e = jnp.linalg.norm(r_d, axis=-1) / state.d_sig
+    e = jnp.linalg.norm(r_d / state.d_sig, axis=-1)
     err += jnp.sum(jnp.where(state.d_valid & (state.d_obj >= 0)[:, None], rho(e), 0.0))
 
     r_t, _, _ = _ternary_terms(state, onehot)
@@ -306,40 +306,46 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
     eye3 = jnp.eye(3, dtype=dtype)
 
     # ================= static landmarks ==================================
+    # anisotropic camera-frame weights: iw = irls / sigma^2 per axis
     r_s, y_s = _static_residuals(state)
     gate = _static_gate(state, cfg)
-    e_s = jnp.linalg.norm(r_s, axis=-1) / state.s_sig
-    w_s = (state.s_valid & gate[None, :]).astype(dtype) * _irls_w(
+    e_s = jnp.linalg.norm(r_s / state.s_sig, axis=-1)
+    iw_s = (state.s_valid & gate[None, :]).astype(dtype)[..., None] * _irls_w(
         e_s, k_rob, use_rob
-    ) / (state.s_sig ** 2)                            # (F, Ls)
+    )[..., None] / (state.s_sig ** 2)                 # (F, Ls, 3)
 
     hat_y = lie.hat(y_s)
     Jx_s = jnp.concatenate(
         [hat_y, -jnp.broadcast_to(eye3, hat_y.shape)], axis=-1
     )                                                 # (F, Ls, 3, 6)
 
-    sw_s = jnp.sum(w_s, axis=0) + _EPS_REG + lam
-    g_s = lie.einsum("fab,flb,fl->la", R, r_s, w_s)
-    A_s = lie.einsum("flba,fl,fbc->flac", Jx_s, w_s, Rt)  # (F, Ls, 6, 3)
+    # Hpp = sum_f R diag(iw) R^T (full 3x3; Jp = R^T, W diagonal in camera)
+    Hpp_s = lie.einsum("fab,flb,fcb->lac", R, iw_s, R) + (
+        _EPS_REG + lam
+    ) * eye3                                          # (Ls, 3, 3)
+    Hpp_inv_s = bt.inv3(Hpp_s)
+    g_s = lie.einsum("fab,flb->la", R, iw_s * r_s)    # (Ls, 3)
+    A_s = lie.einsum("flba,flb,fbc->flac", Jx_s, iw_s, Rt)  # (F, Ls, 6, 3)
 
-    Hxx_s = lie.einsum("flab,fl,flac->fbc", Jx_s, w_s, Jx_s)
-    gx_s = lie.einsum("flab,fl,fla->fb", Jx_s, w_s, r_s)
+    Hxx_s = lie.einsum("flab,fla,flac->fbc", Jx_s, iw_s, Jx_s)
+    gx_s = lie.einsum("flab,fla->fb", Jx_s, iw_s * r_s)
 
-    inv_sw = 1.0 / sw_s
-    S_pp = lie.einsum("flab,l,glcb->fagc", A_s, inv_sw, A_s)
+    S_pp = lie.einsum("flab,lbc,gldc->fagd", A_s, Hpp_inv_s, A_s)
     S = S.at[: 6 * F, : 6 * F].add(
         _block_diag_embed(Hxx_s) - S_pp.reshape(6 * F, 6 * F)
     )
-    rhs_stat = lie.einsum("flab,l,lb->fa", A_s, inv_sw, g_s)
+    rhs_stat = lie.einsum("flab,lbc,lc->fa", A_s, Hpp_inv_s, g_s)
     rhs = rhs.at[: 6 * F].add((-gx_s + rhs_stat).reshape(-1))
 
     # ================= dynamic landmark chains ===========================
     r_d, y_d = _dyn_ptp_residuals(state)
     has_obj_f = jnp.sum(onehot, axis=1)               # (Ld,) 1.0 if assigned
-    e_d = jnp.linalg.norm(r_d, axis=-1) / state.d_sig
-    w_d = state.d_valid.astype(dtype) * has_obj_f[:, None] * _irls_w(
-        e_d, k_rob, use_rob
-    ) / (state.d_sig ** 2)                            # (Ld, F)
+    e_d = jnp.linalg.norm(r_d / state.d_sig, axis=-1)
+    iw_d = (state.d_valid.astype(dtype) * has_obj_f[:, None])[
+        ..., None
+    ] * _irls_w(e_d, k_rob, use_rob)[..., None] / (
+        state.d_sig ** 2
+    )                                                 # (Ld, F, 3)
 
     r_t, m_prev, Hj = _ternary_terms(state, onehot)
     mask_t = _ternary_mask(state, onehot)
@@ -358,25 +364,26 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
 
     # ---- chain blocks (block-tridiagonal, never materialised densely) ----
     w_t_next = jnp.concatenate([w_t[:, 1:], jnp.zeros_like(w_t[:, :1])], axis=1)
-    diag_scalar = w_d + w_t + w_t_next + _EPS_REG + lam
-    Pd = diag_scalar[..., None, None] * eye3          # (Ld, F, 3, 3)
+    Pd_ptp = lie.einsum("fab,lfb,fcb->lfac", R, iw_d, R)
+    diag_scalar = w_t + w_t_next + _EPS_REG + lam
+    Pd = Pd_ptp + diag_scalar[..., None, None] * eye3  # (Ld, F, 3, 3)
     # block (f-1, f) = -w_t[f] RH[f]^T  =>  upper[f'] = block (f', f'+1)
     off = -jnp.swapaxes(RH, -1, -2) * w_t[..., None, None]
     Pu = jnp.concatenate([off[:, 1:], jnp.zeros_like(off[:, :1])], axis=1)
 
-    g_d = lie.einsum("fab,lfb,lf->lfa", R, r_d, w_d)
+    g_d = lie.einsum("fab,lfb->lfa", R, iw_d * r_d)
     g_ter_curr = r_t * w_t[..., None]
     g_ter_prev = -lie.einsum("lfba,lfb->lfa", RH, r_t * w_t[..., None])
     g_d = g_d + g_ter_curr + _shift_frame_up(g_ter_prev, axis=1)
 
-    Bx_blk = lie.einsum("lfba,lf,fbc->lfac", Jx_d, w_d, Rt)       # (Ld,F,6,3)
+    Bx_blk = lie.einsum("lfba,lfb,fbc->lfac", Jx_d, iw_d, Rt)     # (Ld,F,6,3)
     JHT = jnp.swapaxes(J_H, -1, -2)
     Bh_curr = JHT * w_t[..., None, None]
     Bh_prev = -lie.einsum("lfab,lfbc->lfac", JHT * w_t[..., None, None], RH)
 
     # ---- direct reduced-system contributions ----------------------------
-    Hxx_d = lie.einsum("lfab,lf,lfac->fbc", Jx_d, w_d, Jx_d)
-    gx_d = lie.einsum("lfab,lf,lfa->fb", Jx_d, w_d, r_d)
+    Hxx_d = lie.einsum("lfab,lfa,lfac->fbc", Jx_d, iw_d, Jx_d)
+    gx_d = lie.einsum("lfab,lfa->fb", Jx_d, iw_d * r_d)
     S = S.at[: 6 * F, : 6 * F].add(_block_diag_embed(Hxx_d))
     rhs = rhs.at[: 6 * F].add(-gx_d.reshape(-1))
 
@@ -479,7 +486,7 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _Linearization:
     S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
 
     return _Linearization(
-        S=S, rhs=rhs, sw_s=sw_s, g_s=g_s, A_s=A_s,
+        S=S, rhs=rhs, Hpp_inv_s=Hpp_inv_s, g_s=g_s, A_s=A_s,
         Pd=Pd, Pu=Pu, Dp_inv=Dp_inv, Wm=Wm, g_d=g_d,
         Bx_blk=Bx_blk, Bh_curr=Bh_curr, Bh_prev=Bh_prev, onehot=onehot,
     )
@@ -498,7 +505,7 @@ def _apply_update(state: GraphState, lin: _Linearization, dx):
     H_new = lie.retract(state.H, dH)
 
     At_dx = lie.einsum("flab,fa->lb", lin.A_s, dX)
-    dms = (-lin.g_s - At_dx) / lin.sw_s[:, None]
+    dms = lie.einsum("lab,lb->la", lin.Hpp_inv_s, -lin.g_s - At_dx)
     ms_new = state.ms + dms
 
     # chain backsub: dp = P^{-1} (-g - Bx^T dx - Bh^T dh)
@@ -516,6 +523,15 @@ def _apply_update(state: GraphState, lin: _Linearization, dx):
     return state.replace(X=X_new, H=H_new, ms=ms_new, md=md_new)
 
 
+
+def _clip_step(dx, max_step):
+    """Scale 6-dof tangent blocks so none exceeds max_step (GN trust region)."""
+    blocks = dx.reshape(-1, 6)
+    norms = jnp.linalg.norm(blocks, axis=-1, keepdims=True)
+    scale = jnp.minimum(1.0, max_step / jnp.clip(norms, 1e-12, None))
+    return (blocks * scale).reshape(-1)
+
+
 def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     """LM (or warm-started damped GN) to approximate convergence. Jittable."""
     op = cfg.optimizer
@@ -531,7 +547,7 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
 
         def gn_step(st, _):
             lin = linearize(st, cfg, lam)
-            cand = _apply_update(st, lin, solve_dx(lin))
+            cand = _apply_update(st, lin, _clip_step(solve_dx(lin), op.gn_max_step))
             # guard: reject non-finite steps (no cost evaluation needed)
             ok = jnp.isfinite(cand.X).all() & jnp.isfinite(cand.H).all()
             st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)

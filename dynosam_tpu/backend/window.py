@@ -59,9 +59,9 @@ def _departing_information(state: GraphState, cfg: BackendParams):
     m1 = state.md[:, 1]
     z0 = state.d_z[:, 0]
     has_obj = state.d_obj >= 0
-    w_ptp = (state.d_valid[:, 0] & has_obj).astype(dtype) / (
+    iw_ptp = (state.d_valid[:, 0] & has_obj).astype(dtype)[:, None] / (
         state.d_sig[:, 0] ** 2
-    )                                                     # (Ld,)
+    )                                                     # (Ld, 3)
 
     j_idx = jnp.clip(state.d_obj, 0, J - 1)
     H1 = state.H[j_idx, 1]                                # (Ld, 4, 4)
@@ -86,33 +86,35 @@ def _departing_information(state: GraphState, cfg: BackendParams):
     Jm0_ter = -RH                                         # (Ld, 3, 3)
     JH_ter = jnp.concatenate([lie.mm(RH, lie.hat(m0)), -RH], axis=-1)  # (Ld,3,6)
 
-    # per-tracklet elimination of m_0:
-    # Hpp = w_ptp I + w_ter RH^T RH (= w_ter I) + eps
-    hpp = w_ptp + w_ter + _EPS_REG                        # (Ld,) scalar * I
-    inv_hpp = 1.0 / hpp
-    # gradients
-    g_m0 = (
-        w_ptp[:, None] * lie.einsum("ab,lb->la", R0, r_ptp)
-        + w_ter[:, None] * lie.einsum("lba,lb->la", Jm0_ter, r_ter)
+    # per-tracklet elimination of m_0 (full 3x3 blocks):
+    # Hpp = R0 diag(iw) R0^T + w_ter I + eps
+    from dynosam_tpu.ops import block_tridiag as bt
+
+    hpp = (
+        lie.einsum("ab,lb,cb->lac", R0, iw_ptp, R0)
+        + (w_ter + _EPS_REG)[:, None, None] * eye3
     )
+    inv_hpp = bt.inv3(hpp)                                # (Ld, 3, 3)
+    # gradients
+    g_m0 = lie.einsum("ab,lb->la", R0, iw_ptp * r_ptp) + w_ter[
+        :, None
+    ] * lie.einsum("lba,lb->la", Jm0_ter, r_ter)
     # cross blocks (var row, m0 col): X0 from PTP, H1 from ternary
-    C_x0 = w_ptp[:, None, None] * lie.einsum(
-        "lba,bc->lac", Jx0, Jp_ptp
-    )                                                     # (Ld, 6, 3)
+    C_x0 = lie.einsum("lba,lb,bc->lac", Jx0, iw_ptp, Jp_ptp)  # (Ld, 6, 3)
     C_h1 = w_ter[:, None, None] * lie.einsum("lba,lbc->lac", JH_ter, Jm0_ter)
 
     # direct blocks
-    H_x0x0 = lie.einsum("lba,l,lbc->ac", Jx0, w_ptp, Jx0)           # (6,6)
-    g_x0 = lie.einsum("lba,l,lb->a", Jx0, w_ptp, r_ptp)
+    H_x0x0 = lie.einsum("lba,lb,lbc->ac", Jx0, iw_ptp, Jx0)         # (6,6)
+    g_x0 = lie.einsum("lba,lb->a", Jx0, iw_ptp * r_ptp)
     H_h1h1 = lie.einsum("lba,l,lbc->lac", JH_ter, w_ter, JH_ter)    # (Ld,6,6)
     g_h1 = lie.einsum("lba,l,lb->la", JH_ter, w_ter, r_ter)
 
-    # Schur corrections after eliminating m0 (Hpp = hpp * I):
-    S_x0x0 = lie.einsum("lab,l,lcb->ac", C_x0, inv_hpp, C_x0)
-    S_x0h1 = lie.einsum("lab,l,lcb->lac", C_x0, inv_hpp, C_h1)      # (Ld,6,6)
-    S_h1h1 = lie.einsum("lab,l,lcb->lac", C_h1, inv_hpp, C_h1)
-    gs_x0 = lie.einsum("lab,l,lb->a", C_x0, inv_hpp, g_m0)
-    gs_h1 = lie.einsum("lab,l,lb->la", C_h1, inv_hpp, g_m0)
+    # Schur corrections after eliminating m0:
+    S_x0x0 = lie.einsum("lab,lbc,ldc->ad", C_x0, inv_hpp, C_x0)
+    S_x0h1 = lie.einsum("lab,lbc,ldc->lad", C_x0, inv_hpp, C_h1)    # (Ld,6,6)
+    S_h1h1 = lie.einsum("lab,lbc,ldc->lad", C_h1, inv_hpp, C_h1)
+    gs_x0 = lie.einsum("lab,lbc,lc->a", C_x0, inv_hpp, g_m0)
+    gs_h1 = lie.einsum("lab,lbc,lc->la", C_h1, inv_hpp, g_m0)
 
     # scatter into dense M over the reduced tangent
     M = M.at[:6, :6].add(H_x0x0 - S_x0x0)
@@ -244,7 +246,7 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
     onehot = hyb._object_onehot(state, dtype)
     r_h, y_h, q, RH = hyb._hybrid_obs_terms(state, onehot)
     mask = hyb._obs_mask(state, onehot)
-    w = mask[:, 0].astype(dtype) / (sig["dyn_pt"] ** 2)       # slot 0 only
+    iw = mask[:, 0].astype(dtype)[:, None] / (state.d_sig[:, 0] ** 2)  # (Ld,3)
 
     eye3 = jnp.eye(3, dtype=dtype)
     y0 = y_h[:, 0]
@@ -259,11 +261,11 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
     ]
 
     r0 = r_h[:, 0]
-    H_xx = lie.einsum("lba,l,lbc->ac", Jx, w, Jx)
-    g_x = lie.einsum("lba,l,lb->a", Jx, w, r0)
-    H_hh = lie.einsum("lba,l,lbc->lac", Jh, w, Jh)
-    g_h = lie.einsum("lba,l,lb->la", Jh, w, r0)
-    H_xh = lie.einsum("lba,l,lbc->lac", Jx, w, Jh)
+    H_xx = lie.einsum("lba,lb,lbc->ac", Jx, iw, Jx)
+    g_x = lie.einsum("lba,lb->a", Jx, iw * r0)
+    H_hh = lie.einsum("lba,lb,lbc->lac", Jh, iw, Jh)
+    g_h = lie.einsum("lba,lb->la", Jh, iw * r0)
+    H_xh = lie.einsum("lba,lb,lbc->lac", Jx, iw, Jh)
     H_hh_obj = lie.einsum("lac,lj->jac", H_hh, onehot)
     g_h_obj = lie.einsum("la,lj->ja", g_h, onehot)
     H_xh_obj = lie.einsum("lac,lj->jac", H_xh, onehot)

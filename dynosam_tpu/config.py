@@ -111,6 +111,10 @@ class NoiseParams:
     # reference's pixel-sigma projection factors (static_formulation_type=2)
     # in the PTP parameterisation; without it far points are overweighted.
     use_range_dependent_noise: bool = True
+    # cap on the range-model sigma, as a multiple of the base point sigma —
+    # prevents far observations from collapsing to zero information (which
+    # leaves object motions constrained only by the smoothing prior)
+    max_range_sigma_scale: float = 200.0
 
 
 @dataclass
@@ -120,6 +124,10 @@ class OptimizerParams:
     # incremental (warm-started) mode disables it and runs plain damped GN,
     # mirroring iSAM2's non-backtracking updates.
     accept_reject: bool = True
+    # trust-region-style step cap for the GN fast path: per-variable tangent
+    # blocks are scaled so none exceeds this norm (guards the occasional
+    # diverging Gauss-Newton step that LM accept/reject would have rejected)
+    gn_max_step: float = 0.2
     lm_initial_lambda: float = 1e-4
     lm_lambda_factor: float = 10.0
     lm_min_lambda: float = 1e-9

@@ -209,6 +209,7 @@ def default_dense_scenario(
         cy=height / 2,
         width=width,
         height=height,
+        baseline=0.54,   # realistic virtual-stereo baseline for noise models
     )
     spec = ScenarioSpec(
         num_frames=num_frames,

@@ -71,13 +71,14 @@ def make_fused_step(
     import dataclasses
 
     bcfg = cfg.backend
-    if bcfg.optimization_mode == 2 and bcfg.optimizer.accept_reject:
-        # incremental mode: warm-started damped GN (see RegularBackend)
+    if bcfg.optimization_mode == 2:
+        # incremental mode: warm-started LM, few iterations, with
+        # accept/reject (plain GN diverges on weakly-conditioned windows)
         bcfg = dataclasses.replace(
             bcfg,
             optimizer=dataclasses.replace(
                 bcfg.optimizer,
-                accept_reject=False,
+                accept_reject=True,
                 max_iterations=min(3, bcfg.optimizer.max_iterations),
             ),
         )
@@ -88,6 +89,12 @@ def make_fused_step(
         advance_fn = window_mod.advance_hybrid
         update_fn = graph_mod.update_from_packet_hybrid
         optimize_fn = hybrid_mod.optimize
+    elif bcfg.backend_updater_enum == 1:
+        from dynosam_tpu.backend import wcpe as wcpe_mod
+
+        advance_fn = window_mod.advance_wcpe
+        update_fn = wcpe_mod.update_from_packet_wcpe
+        optimize_fn = wcpe_mod.optimize
     else:
         advance_fn = window_mod.advance
         update_fn = graph_mod.update_from_packet

@@ -71,6 +71,7 @@ class DynoPipeline:
             EstimationModuleLogger(module_name, output_path) if output_path else None
         )
         self.trajectory: List[np.ndarray] = []   # backend camera poses
+        self.last_packet: Optional[VisionPacket] = None
         self.frontend_trajectory: List[np.ndarray] = []
         self.outputs: List[BackendOutput] = []
 
@@ -89,6 +90,7 @@ class DynoPipeline:
         self.frontend_trajectory.append(np.asarray(packet.X_world_cam))
         self.trajectory.append(out.X_world_cam)
         self.outputs.append(out)
+        self.last_packet = packet
         if self.logger is not None:
             self._log(packet, out, gt)
         return out
