@@ -77,7 +77,8 @@ def build():
     )
 
     intr = cam.CameraIntrinsics.create(
-        fx=720.0, fy=720.0, cx=WIDTH / 2, cy=HEIGHT / 2, width=WIDTH, height=HEIGHT
+        fx=720.0, fy=720.0, cx=WIDTH / 2, cy=HEIGHT / 2,
+        width=WIDTH, height=HEIGHT, baseline=0.537,  # KITTI stereo baseline
     )
     spec = ScenarioSpec(
         num_frames=DISTINCT_FRAMES,
