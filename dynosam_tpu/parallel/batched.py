@@ -55,18 +55,18 @@ def init_pipeline_state(cfg: DynoConfig, key=None) -> PipelineState:
 
 
 def make_fused_step(
-    cfg: DynoConfig, intr: cam.CameraIntrinsics, pipelined: bool = True
+    cfg: DynoConfig, intr: cam.CameraIntrinsics, pipelined: bool = False
 ):
     """One full SLAM step: images in -> optimized state out. Pure, jittable.
 
-    pipelined=True (default) software-pipelines the backend one frame behind
-    the frontend *inside one XLA program*: the window optimization of the
-    previously ingested frame has no data dependency on the current frame's
-    images, so XLA overlaps it with tracking/RANSAC — per-step latency is
-    max(frontend, backend) instead of their sum. This mirrors the reference's
-    asynchronous frontend/backend threads + queue (PipelineManager.cc:221),
-    with identical estimates delayed by one frame. pipelined=False optimizes
-    the current frame's window before returning (sequential mode).
+    pipelined=True software-pipelines the backend one frame behind the
+    frontend inside one XLA program (the window optimization of the previous
+    frame has no data dependency on the current frame's images). This mirrors
+    the reference's asynchronous frontend/backend threads + queue
+    (PipelineManager.cc:221) and lets a multi-core scheduler overlap the two;
+    on a single sequential TPU core it only delays outputs by a frame, so the
+    default is the sequential order (optimize the current frame's window
+    before returning).
     """
     import dataclasses
 
