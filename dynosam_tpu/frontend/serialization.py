@@ -55,3 +55,21 @@ class PacketReplayProvider:
 
     def __iter__(self):
         return iter(self.packets)
+
+
+# ---------------------------------------------------------------------------
+# Graph-state checkpointing (backend resume)
+# ---------------------------------------------------------------------------
+
+def save_graph_state(path: str, state) -> None:
+    """Checkpoint a backend GraphState (or any flax pytree) to .npz."""
+    flat, _ = jax.tree.flatten(state)
+    np.savez_compressed(path, **{f"arr_{i}": np.asarray(a) for i, a in enumerate(flat)})
+
+
+def load_graph_state(path: str, template):
+    """Restore a pytree checkpoint into `template`'s structure."""
+    data = np.load(path)
+    flat, treedef = jax.tree.flatten(template)
+    loaded = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(flat))]
+    return jax.tree.unflatten(treedef, loaded)

@@ -144,3 +144,22 @@ class TestAuxOps:
             back[1].dynamic_tracks.tracklet_id, packets[1].dynamic_tracks.tracklet_id
         )
         assert len(PacketReplayProvider(p)) == 3
+
+    def test_graph_state_checkpoint(self, tmp_path):
+        from dynosam_tpu.backend import graph
+        from dynosam_tpu.config import BackendParams
+        from dynosam_tpu.frontend.serialization import (
+            load_graph_state,
+            save_graph_state,
+        )
+
+        cfg = BackendParams(max_frames=4, max_objects=2,
+                            max_static_landmarks=16, max_dynamic_landmarks=16)
+        st = graph.empty_graph(cfg)
+        st = st.replace(num_frames=jnp.array(2, jnp.int32),
+                        ms=st.ms.at[0].set(jnp.array([1.0, 2.0, 3.0])))
+        p = str(tmp_path / "graph.npz")
+        save_graph_state(p, st)
+        st2 = load_graph_state(p, graph.empty_graph(cfg))
+        assert int(st2.num_frames) == 2
+        np.testing.assert_allclose(np.asarray(st2.ms[0]), [1.0, 2.0, 3.0])
