@@ -204,6 +204,26 @@ class DynoConfig:
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
 
+    def normalized(self) -> "DynoConfig":
+        """Align backend slot capacities to the frontend's track capacities.
+
+        The frontend's fixed-slot track tables map row-for-row into the
+        backend's landmark tables (slot discipline replaces gtsam::Key
+        hashing), so the capacities must agree; the frontend is the source
+        of truth. Object capacity likewise.
+        """
+        be = dataclasses.replace(
+            self.backend,
+            max_static_landmarks=self.frontend.tracker.max_features_per_frame,
+            max_dynamic_landmarks=(
+                self.frontend.tracker.max_dynamic_features_per_frame
+            ),
+            max_objects=self.frontend.max_objects,
+        )
+        if be == self.backend:
+            return self
+        return dataclasses.replace(self, backend=be)
+
 
 # ---------------------------------------------------------------------------
 

@@ -87,12 +87,29 @@ class KittiDataProvider:
         pad_to_multiple: int = 0,
     ):
         self.path = path
-        self.base_line = base_line
-        self.depth_scale_factor = depth_scale_factor
+        # dataset-local DatasetParams.yaml (reference keys,
+        # KittiDataLoader::Params::fromYaml, KittiDataProvider.hpp:364-377,
+        # extended with intrinsics) overrides the hardcoded defaults;
+        # explicit constructor arguments override both.
+        dp = self._load_dataset_params()
+        self.base_line = dp.get("base_line", base_line) if base_line == 387.5744 else base_line
+        self.depth_scale_factor = (
+            dp.get("depth_scale_factor", depth_scale_factor)
+            if depth_scale_factor == 256.0
+            else depth_scale_factor
+        )
+        if "mask_type" in dp and mask_folder == "motion":
+            mask_folder = (
+                "motion" if str(dp["mask_type"]).upper() == "MOTION" else "semantic"
+            )
         self.mask_folder = mask_folder
         self.mask_format = mask_format
         self.max_objects = max_objects
         self.pad_to_multiple = pad_to_multiple
+        if intrinsics is None and all(
+            k in dp for k in ("fx", "fy", "cx", "cy")
+        ):
+            intrinsics = {k: float(dp[k]) for k in ("fx", "fy", "cx", "cy")}
 
         rgb_dir = os.path.join(path, "image_0")
         self._n = len(
@@ -116,6 +133,24 @@ class KittiDataProvider:
         self._object_gt = self._load_object_poses()
 
     # ------------------------------------------------------------------
+    def _load_dataset_params(self) -> Dict[str, float]:
+        fname = os.path.join(self.path, "DatasetParams.yaml")
+        out: Dict[str, float] = {}
+        if not os.path.exists(fname):
+            return out
+        with open(fname) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if ":" not in line:
+                    continue
+                k, v = line.split(":", 1)
+                v = v.strip()
+                try:
+                    out[k.strip()] = float(v)
+                except ValueError:
+                    out[k.strip()] = v
+        return out
+
     def _padded(self, x: int) -> int:
         m = self.pad_to_multiple
         return x if m <= 0 else ((x + m - 1) // m) * m

@@ -48,6 +48,7 @@ class PipelineState:
 
 
 def init_pipeline_state(cfg: DynoConfig, key=None) -> PipelineState:
+    cfg = cfg.normalized()
     return PipelineState(
         frontend=empty_frontend_state(cfg.frontend, key=key),
         graph=graph_mod.empty_graph(cfg.backend),
@@ -70,6 +71,7 @@ def make_fused_step(
     """
     import dataclasses
 
+    cfg = cfg.normalized()
     bcfg = cfg.backend
     if bcfg.optimization_mode == 2:
         # incremental mode: warm-started LM, few iterations, with

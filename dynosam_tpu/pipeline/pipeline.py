@@ -60,6 +60,7 @@ class DynoPipeline:
         output_path: Optional[str] = None,
         module_name: str = "dynosam_tpu",
     ):
+        cfg = cfg.normalized()
         self.cfg = cfg
         self.intr = intr
         self.frontend_state = empty_frontend_state(cfg.frontend)
