@@ -27,9 +27,8 @@ MEASURE = 30
 DISTINCT_FRAMES = 8
 
 
-def build():
-    import jax
-
+def bench_config():
+    """The benchmark's (cfg, intr) — shared with scripts/profile_breakdown.py."""
     from dynosam_tpu.config import (
         BackendParams,
         DynoConfig,
@@ -40,9 +39,6 @@ def build():
         TrackerParams,
     )
     from dynosam_tpu.cv import camera as cam
-    from dynosam_tpu.dataproviders.simulator import ObjectSpec, ScenarioSpec
-    from dynosam_tpu.dataproviders.synthetic_dense import DenseScenario
-    from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
 
     cfg = DynoConfig(
         frontend=FrontendParams(
@@ -55,9 +51,10 @@ def build():
                 min_corner_response=1e-6,
             ),
             motion_solver=MotionSolverParams(
-                # fixed-batch RANSAC: 256 hypotheses of 3 points give
-                # P(miss) < 1e-7 at 50% inliers — statistically equivalent to
-                # the reference's 500 adaptive iterations
+                # fixed-batch RANSAC: 128 hypotheses of 3 points give
+                # P(miss) = (1 - 0.5^3)^128 < 4e-8 at 50% inliers —
+                # statistically equivalent to the reference's 500 adaptive
+                # iterations
                 camera=RansacParams(ransac_iterations=128),
                 object=RansacParams(ransac_iterations=128, min_inliers=8),
                 refinement_iterations=3,
@@ -80,6 +77,17 @@ def build():
         fx=720.0, fy=720.0, cx=WIDTH / 2, cy=HEIGHT / 2,
         width=WIDTH, height=HEIGHT, baseline=0.537,  # KITTI stereo baseline
     )
+    return cfg, intr
+
+
+def build():
+    import jax
+
+    from dynosam_tpu.dataproviders.simulator import ObjectSpec, ScenarioSpec
+    from dynosam_tpu.dataproviders.synthetic_dense import DenseScenario
+    from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
+
+    cfg, intr = bench_config()
     spec = ScenarioSpec(
         num_frames=DISTINCT_FRAMES,
         num_static=0,

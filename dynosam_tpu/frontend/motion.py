@@ -41,6 +41,26 @@ class MotionSolveResult(NamedTuple):
     valid: jnp.ndarray        # () bool
 
 
+def _project_sq_err(T, pts, uv_obs, intr, eps=1e-6):
+    """Squared reprojection error of `T @ pts` vs uv_obs, fully elementwise.
+
+    RANSAC scores (hyps, N)-shaped residual grids; any jnp.stack /
+    concatenate / trailing unit dim in that chain becomes an XLA fusion
+    boundary that materializes multi-MB intermediates in HBM (measured ~1 GB
+    of traffic per object-solve call). Component arithmetic keeps the whole
+    hypothesis-scoring chain one fused elementwise loop. Compare against
+    threshold**2.
+    """
+    px, py, pz = pts[..., 0], pts[..., 1], pts[..., 2]
+    mx = T[..., 0, 0] * px + T[..., 0, 1] * py + T[..., 0, 2] * pz + T[..., 0, 3]
+    my = T[..., 1, 0] * px + T[..., 1, 1] * py + T[..., 1, 2] * pz + T[..., 1, 3]
+    mz = T[..., 2, 0] * px + T[..., 2, 1] * py + T[..., 2, 2] * pz + T[..., 2, 3]
+    safe_z = jnp.where(jnp.abs(mz) < eps, eps, mz)
+    du = intr.fx * mx / safe_z + intr.cx - uv_obs[..., 0]
+    dv = intr.fy * my / safe_z + intr.cy - uv_obs[..., 1]
+    return du * du + dv * dv, mz
+
+
 # ---------------------------------------------------------------------------
 # Ego-motion: world 3D points (from k-1) + pixel observations (at k)
 # ---------------------------------------------------------------------------
@@ -65,15 +85,20 @@ def solve_camera_pose(
     data = {"p_w": pts_world, "uv": uv_k, "p_c": pts_cam_k}
 
     def solve_fn(s):
-        # T maps world -> camera_k; Kabsch on the 3-point minimal set.
-        return kabsch.solve_rigid(s["p_w"], s["p_c"])
+        # T maps world -> camera_k; closed-form triad on the 3-point minimal
+        # set (exact = Kabsch for congruent samples; no SVD custom-call)
+        return kabsch.solve_rigid_3pt(s["p_w"], s["p_c"])
 
     def residual_fn(T_cw, d):
-        uv_pred = cam.project(lie.transform_points(T_cw, d["p_w"]), intr)
-        return jnp.linalg.norm(uv_pred - d["uv"], axis=-1)
+        # squared pixel error (elementwise-fused); threshold is squared below
+        sq, _ = _project_sq_err(T_cw, d["p_w"], d["uv"], intr)
+        return sq
 
-    def refit_fn(d, w):
-        return kabsch.solve_rigid(d["p_w"], d["p_c"], w)
+    def refit_fn(d, w, model):
+        # Horn quaternion refit warm-started at the current model (no SVD)
+        return kabsch.solve_rigid_quat(
+            d["p_w"], d["p_c"], w, R0=model[..., :3, :3]
+        )
 
     res = ransac.ransac(
         key,
@@ -83,7 +108,7 @@ def solve_camera_pose(
         valid,
         num_hypotheses=rp.ransac_iterations,
         sample_size=3,
-        threshold=rp.ransac_threshold_pnp,
+        threshold=rp.ransac_threshold_pnp**2,
         min_inliers=rp.min_inliers,
         refit_fn=refit_fn,
         refit_rounds=params.refit_rounds,
@@ -133,7 +158,7 @@ def solve_object_motion(
     z_k = lie.transform_points(T_cam_world, pts_world_k)[..., 2]
 
     def solve_fn(s):
-        return kabsch.solve_rigid(s["p_prev"], s["p_k"])
+        return kabsch.solve_rigid_3pt(s["p_prev"], s["p_k"])
 
     def _uv_z_residual(H, p_prev, uv_obs, z_obs):
         """Reprojection + disparity-scaled depth residual (pixels).
@@ -142,7 +167,8 @@ def solve_object_motion(
         breaks the classic planar-PnP two-lobe ambiguity that pure
         reprojection scoring suffers on near-planar objects.
         """
-        m_c = lie.transform_points(T_cam_world, lie.transform_points(H, p_prev))
+        # compose the (tiny) 4x4s once; ONE fused point transform over N
+        m_c = lie.transform_points(lie.compose(T_cam_world, H), p_prev)
         uv_pred = cam.project(m_c, intr)
         z_pred = m_c[..., 2]
         # pixel-equivalent depth residual: fx * dz / z is the lateral pixel
@@ -151,12 +177,19 @@ def solve_object_motion(
         return jnp.concatenate([uv_pred - uv_obs, dz[..., None]], axis=-1)
 
     def residual_fn(H, d):
-        zk = lie.transform_points(T_cam_world, d["p_k"])[..., 2]
-        return jnp.linalg.norm(_uv_z_residual(H, d["p_prev"], d["uv"], zk), axis=-1)
+        # squared (reprojection + pixel-equivalent depth) error, elementwise
+        T = lie.compose(T_cam_world, H)
+        sq, mz = _project_sq_err(T, d["p_prev"], d["uv"], intr)
+        zk = d["z_k"]
+        dz = (mz - zk) * intr.fx / jnp.clip(zk, 1e-3, None)
+        return sq + dz * dz
 
-    def refit_fn(d, w):
-        return kabsch.solve_rigid(d["p_prev"], d["p_k"], w)
+    def refit_fn(d, w, model):
+        return kabsch.solve_rigid_quat(
+            d["p_prev"], d["p_k"], w, R0=model[..., :3, :3]
+        )
 
+    data["z_k"] = z_k
     res = ransac.ransac(
         key,
         solve_fn,
@@ -165,7 +198,7 @@ def solve_object_motion(
         valid,
         num_hypotheses=rp.ransac_iterations,
         sample_size=3,
-        threshold=rp.ransac_threshold_pnp,
+        threshold=rp.ransac_threshold_pnp**2,
         min_inliers=rp.min_inliers,
         refit_fn=refit_fn,
         refit_rounds=params.refit_rounds,

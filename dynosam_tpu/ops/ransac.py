@@ -47,7 +47,7 @@ def ransac(
     sample_size: int,
     threshold: float,
     min_inliers: int,
-    refit_fn: Callable | None = None,  # (data, inlier_weights (N,)) -> model
+    refit_fn: Callable | None = None,  # (data, inlier_weights (N,), model) -> model
     refit_rounds: int = 2,
 ) -> RansacResult:
     idx = _sample_indices(key, valid, num_hypotheses, sample_size)
@@ -68,7 +68,7 @@ def ransac(
     if refit_fn is not None:
         def body(_, carry):
             model, inliers = carry
-            model = refit_fn(data, inliers.astype(residuals.dtype))
+            model = refit_fn(data, inliers.astype(residuals.dtype), model)
             res = residual_fn(model, data)
             inliers = (res < threshold) & valid
             return model, inliers

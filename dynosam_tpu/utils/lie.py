@@ -200,12 +200,28 @@ def compose(A, B):
 
 
 def transform_points(T, pts):
-    """Apply pose(s) to points. T: (..., 4, 4), pts: (..., 3) -> (..., 3)."""
-    return einsum("...ij,...j->...i", T[..., :3, :3], pts) + T[..., :3, 3]
+    """Apply pose(s) to points. T: (..., 4, 4), pts: (..., 3) -> (..., 3).
+
+    Written as explicit component arithmetic (not einsum): a 3-wide
+    contraction lowers to dot_general, which XLA will not fuse into the
+    surrounding elementwise chain — in vmapped RANSAC scoring that
+    materializes (hyps, N, 3) intermediates in HBM and turns a fusable loop
+    into a bandwidth-bound pipeline. Elementwise form fuses end-to-end.
+    """
+    px, py, pz = pts[..., 0], pts[..., 1], pts[..., 2]
+    qx = T[..., 0, 0] * px + T[..., 0, 1] * py + T[..., 0, 2] * pz + T[..., 0, 3]
+    qy = T[..., 1, 0] * px + T[..., 1, 1] * py + T[..., 1, 2] * pz + T[..., 1, 3]
+    qz = T[..., 2, 0] * px + T[..., 2, 1] * py + T[..., 2, 2] * pz + T[..., 2, 3]
+    return jnp.stack([qx, qy, qz], axis=-1)
 
 
 def rotate_points(R, pts):
-    return einsum("...ij,...j->...i", R, pts)
+    """R: (..., 3, 3), pts: (..., 3) -> (..., 3); elementwise for fusion."""
+    px, py, pz = pts[..., 0], pts[..., 1], pts[..., 2]
+    qx = R[..., 0, 0] * px + R[..., 0, 1] * py + R[..., 0, 2] * pz
+    qy = R[..., 1, 0] * px + R[..., 1, 1] * py + R[..., 1, 2] * pz
+    qz = R[..., 2, 0] * px + R[..., 2, 1] * py + R[..., 2, 2] * pz
+    return jnp.stack([qx, qy, qz], axis=-1)
 
 
 def se3_exp(xi):

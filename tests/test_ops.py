@@ -88,7 +88,7 @@ class TestRansac:
             sample_size=3,
             threshold=0.05,
             min_inliers=10,
-            refit_fn=lambda d, w: kabsch.solve_rigid(d["p"], d["q"], w),
+            refit_fn=lambda d, w, m: kabsch.solve_rigid(d["p"], d["q"], w),
         )
         assert bool(res.valid)
         assert int(res.num_inliers) >= 85
@@ -153,3 +153,82 @@ class TestGaussNewton:
         err = jnp.linalg.norm(lie.local_coordinates(T_ref, T_wc))
         assert float(err) < 5e-3
         assert float(jnp.max(w[:8])) < 0.2
+
+
+class TestKabschFastPaths:
+    """Triad 3-point solver and Horn quaternion refit vs SVD Kabsch."""
+
+    def test_triad_matches_kabsch_on_congruent_sets(self):
+        import numpy as np
+        from dynosam_tpu.utils import lie as lie_mod
+
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            xi = jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32)
+            T_gt = lie_mod.se3_exp(xi)
+            p = jnp.asarray(rng.normal(size=(3, 3)) * 2, jnp.float32)
+            q = lie_mod.transform_points(T_gt, p)
+            T = kabsch.solve_rigid_3pt(p, q)
+            np.testing.assert_allclose(np.asarray(T), np.asarray(T_gt), atol=2e-5)
+
+    def test_triad_batched(self):
+        import numpy as np
+        from dynosam_tpu.utils import lie as lie_mod
+
+        rng = np.random.default_rng(4)
+        xi = jnp.asarray(rng.normal(size=(16, 6)) * 0.4, jnp.float32)
+        T_gt = lie_mod.se3_exp(xi)
+        p = jnp.asarray(rng.normal(size=(16, 3, 3)) * 2, jnp.float32)
+        q = lie_mod.transform_points(T_gt[:, None], p)
+        T = jax.vmap(kabsch.solve_rigid_3pt)(p, q)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_gt), atol=5e-5)
+
+    def test_triad_collinear_is_finite(self):
+        p = jnp.stack([jnp.zeros(3), jnp.ones(3), 2.0 * jnp.ones(3)])
+        T = kabsch.solve_rigid_3pt(p, p + 1.0)
+        assert bool(jnp.all(jnp.isfinite(T)))
+
+    def test_quat_matches_svd_kabsch_weighted(self):
+        import numpy as np
+        from dynosam_tpu.utils import lie as lie_mod
+
+        rng = np.random.default_rng(5)
+        xi = jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32)
+        T_gt = lie_mod.se3_exp(xi)
+        p = jnp.asarray(rng.normal(size=(60, 3)) * 3, jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(60, 3)) * 0.01, jnp.float32)
+        q = lie_mod.transform_points(T_gt, p) + noise
+        w = jnp.asarray(rng.uniform(0.2, 1.0, size=(60,)), jnp.float32)
+        T_svd = kabsch.solve_rigid(p, q, w)
+        T_horn = kabsch.solve_rigid_quat(p, q, w, iters=30)
+        np.testing.assert_allclose(
+            np.asarray(T_horn), np.asarray(T_svd), atol=1e-4
+        )
+
+    def test_quat_warm_start_few_iters(self):
+        import numpy as np
+        from dynosam_tpu.utils import lie as lie_mod
+
+        rng = np.random.default_rng(6)
+        xi = jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32)
+        T_gt = lie_mod.se3_exp(xi)
+        p = jnp.asarray(rng.normal(size=(60, 3)) * 3, jnp.float32)
+        q = lie_mod.transform_points(T_gt, p)
+        # warm start at a slightly-perturbed rotation; few iterations suffice
+        R0 = lie_mod.so3_exp(jnp.asarray([0.05, -0.03, 0.02])) @ T_gt[:3, :3]
+        T = kabsch.solve_rigid_quat(p, q, R0=R0, iters=12)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T_gt), atol=1e-4)
+
+    def test_rot_quat_roundtrip(self):
+        import numpy as np
+        from dynosam_tpu.utils import lie as lie_mod
+        from dynosam_tpu.ops.kabsch import _quat_to_rot, _rot_to_quat
+
+        rng = np.random.default_rng(7)
+        # include near-pi rotations (stress the Shepperd branches)
+        for scale in (0.1, 1.0, 3.1):
+            w = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+            w = w / jnp.linalg.norm(w, axis=-1, keepdims=True) * scale
+            R = lie_mod.so3_exp(w)
+            R2 = _quat_to_rot(_rot_to_quat(R))
+            np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
