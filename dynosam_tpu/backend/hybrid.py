@@ -120,9 +120,12 @@ def _smooth_triple_mask(state: GraphState, cfg: BackendParams):
         return jnp.zeros_like(state.H_valid)
     Hv = state.H_valid
     f = jnp.arange(state.F)[None, :]
+    # NB: the keyframe-slot equality must exclude departed keyframes
+    # (kf_slot == -1): at f=1 the comparison -1 == f-2 would otherwise turn
+    # the factor on with jnp.roll wrap-around garbage in the H_{f-2} operand.
     exists_prev2 = jnp.concatenate(
         [jnp.zeros_like(Hv[:, :2]), Hv[:, :-2]], axis=1
-    ) | (state.kf_slot[:, None] == f - 2) | (
+    ) | ((state.kf_slot[:, None] == f - 2) & (state.kf_slot[:, None] >= 0)) | (
         (state.kf_slot[:, None] < 0) & (f >= 2)
     )
     valid_prev = jnp.concatenate([jnp.zeros_like(Hv[:, :1]), Hv[:, :-1]], axis=1)
@@ -303,21 +306,20 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     # Schur corrections over points (Hpp diagonal!)
     Sxx_c = lie.einsum("lfab,lbc,lgdc->fagd", Ax_d, Hpp_inv_d, Ax_d)
     rx_c = lie.einsum("lfab,lbc,lc->fa", Ax_d, Hpp_inv_d, g_d)
-    # per-object Schur blocks as J explicit weighted matmuls — cheaper on TPU
-    # than the 4-operand einsum's (Ld,F,6,F,6) intermediate
-    Ax2 = Ax_d.reshape(Ld, F * 6, 3)
-    Ah2 = Ah_d.reshape(Ld, F * 6, 3)
+    # Per-object Schur blocks, J-independent compile: build the per-tracklet
+    # (6F, 6F) outer products once, then group by object with ONE (J, Ld) x
+    # (Ld, 36F^2) matmul — a pure MXU contraction replacing the Python J-loop
+    # (compile time and program size used to scale linearly with J).
+    n6 = F * 6
+    Ax2 = Ax_d.reshape(Ld, n6, 3)
+    Ah2 = Ah_d.reshape(Ld, n6, 3)
     AhPinv = lie.einsum("lab,lbc->lac", Ah2, Hpp_inv_d)   # (Ld, 6F, 3)
-    Sxh_list, Shh_list, rh_list = [], [], []
-    for j in range(J):
-        oj = onehot[:, j]
-        AhPw = AhPinv * oj[:, None, None]
-        Sxh_list.append(lie.einsum("lab,lcb->ac", Ax2, AhPw))
-        Shh_list.append(lie.einsum("lab,lcb->ac", Ah2, AhPw))
-        rh_list.append(lie.einsum("lab,l,lb->a", AhPinv, oj, g_d))
-    Sxh_c = jnp.stack(Sxh_list).reshape(J, F, 6, F, 6)
-    Shh_c = jnp.stack(Shh_list).reshape(J, F, 6, F, 6)
-    rh_c = jnp.stack(rh_list).reshape(J, F, 6)
+    t_xh = lie.einsum("lab,lcb->lac", Ax2, AhPinv)        # (Ld, 6F, 6F)
+    t_hh = lie.einsum("lab,lcb->lac", Ah2, AhPinv)
+    onehot_T = onehot.T                                    # (J, Ld)
+    Sxh_c = (onehot_T @ t_xh.reshape(Ld, n6 * n6)).reshape(J, F, 6, F, 6)
+    Shh_c = (onehot_T @ t_hh.reshape(Ld, n6 * n6)).reshape(J, F, 6, F, 6)
+    rh_c = lie.einsum("lab,lb,lj->ja", AhPinv, g_d, onehot).reshape(J, F, 6)
 
     S = S.at[: 6 * F, : 6 * F].add(-Sxx_c.reshape(6 * F, 6 * F))
     rhs = rhs.at[: 6 * F].add(rx_c.reshape(-1))

@@ -228,10 +228,12 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
 
     Leaving factors touching {X_0, H_{:,0}}: the slot-0 observation factors
     (X_0, H_{j,0}, m_L) with m_L held fixed at its estimate (same
-    conservative treatment as the WCME advance), the odometry factor (0, 1),
-    the gauge prior, and the previous marginal prior. Smoothing ternaries
-    that straddle the boundary are dropped (their information is small
-    relative to the observation block).
+    conservative treatment as the WCME advance), the straddling
+    constant-motion smoothing ternary (H_0, H_1, H_2), the odometry factor
+    (0, 1), the gauge prior, and the previous marginal prior. Keeping the
+    straddling ternary is what carries the constant-motion information of
+    the departing motion into the prior — dropping it (round 1) cost
+    incremental mode 2-3x object accuracy vs full batch.
     """
     from dynosam_tpu.backend import hybrid as hyb
 
@@ -279,6 +281,26 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
         g = g.at[o : o + 6].add(g_h_obj[j])
         M = M.at[:6, o : o + 6].add(H_xh_obj[j])
         M = M.at[o : o + 6, :6].add(H_xh_obj[j].T)
+
+    # straddling constant-motion smoothing ternary: factor at f=2 couples
+    # (H_0, H_1, H_2) — the only smoothing factor referencing the departing
+    # H_{:,0} (the f=1 factor needs slot -1 and is never active)
+    if cfg.use_smoothing_factor:
+        r_sm, J_A, J_B, J_C = hyb._smooth_triple_terms(state)
+        sm_w = hyb._smooth_triple_mask(state, cfg)[:, 2].astype(dtype)[
+            :, None
+        ] / (sig["smooth"] ** 2)                               # (J, 6)
+        rA = r_sm[:, 2]                                        # (J, 6)
+        Js = (J_A[:, 2], J_B[:, 2], J_C[:, 2])                 # slots 0,1,2
+        Jws = tuple(jnp.swapaxes(Jk, -1, -2) * sm_w[:, None, :] for Jk in Js)
+        for j in range(J):
+            offs = [off0 + 6 * (j * F + f) for f in range(3)]
+            for a in range(3):
+                oa = offs[a]
+                g = g.at[oa : oa + 6].add(Jws[a][j] @ rA[j])
+                for b in range(3):
+                    ob = offs[b]
+                    M = M.at[oa : oa + 6, ob : ob + 6].add(Jws[a][j] @ Js[b][j])
 
     # odometry(0, 1)
     if cfg.use_vo_factor:

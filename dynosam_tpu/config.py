@@ -72,6 +72,16 @@ class TrackerParams:
     # detection grid cell size (GFTT+ANMS analogue: per-cell best corner)
     detection_cell_size: int = 16
     min_corner_response: float = 1e-4
+    # sparse pyramidal KLT (prefer_provided_optical_flow = false mode;
+    # reference: cv::cuda::SparsePyrLKOpticalFlow, StaticFeatureTracker.cc:238)
+    klt_levels: int = 3
+    klt_window_half: int = 3              # (2h+1)^2 patch
+    klt_iterations: int = 8
+    klt_min_eig: float = 1e-4
+    klt_fb_threshold: float = 1.0         # forward-backward check (pixels)
+    use_clahe: bool = True                # equalize before KLT
+    clahe_clip_limit: float = 2.0
+    clahe_grid: int = 8
     # use fused Pallas kernels on TPU where available (falls back to XLA on
     # other backends / unsupported shapes)
     use_pallas_kernels: bool = True

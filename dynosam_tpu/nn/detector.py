@@ -1,12 +1,17 @@
-"""Object-detection engine interface (dynosam_nn ObjectDetector parity).
+"""Object-detection engines (dynosam_nn ObjectDetector parity).
 
 Reference: /root/reference/dynosam_nn/include/dynosam_nn/ObjectDetector.hpp:15
 (`ObjectDetectionEngine::process(image) -> ObjectDetectionResult`) and the
-TensorRT YOLOv8-seg implementation. The TPU port of an instance-segmentation
-network (with Pallas post-processing kernels replacing YoloV8CudaUtils.cu) is
-scheduled for a later round; this module defines the stable interface the
-tracker consumes plus a mask-passthrough engine for datasets that provide
-segmentation.
+TensorRT YOLOv8-seg implementation (YoloV8ObjectDetector.cc, 718 LoC + CUDA
+post-process kernels). TPU equivalents here:
+
+  * `YoloV8DetectorEngine` — the full pipeline: jitted YOLOv8-seg forward
+    (nn/yolov8.py) -> DFL decode + fixed-shape NMS (nn/postprocess.py) ->
+    Pallas mask combination (ops/pallas/mask_combine.py) -> int32 instance
+    label image. Weights from `nn.weights.load_ultralytics_weights` or
+    random init (structure/perf testing).
+  * `MaskPassthroughEngine` — externally provided masks
+    (prefer_provided_object_detection=true, the benchmark configuration).
 
 Contract: `process` returns an int32 (H, W) instance mask with 0 = background
 and arbitrary per-frame labels; temporal identity is supplied downstream by
@@ -15,8 +20,9 @@ nn.bytetrack (see frontend/tracker.py's untracked-mask path).
 
 from __future__ import annotations
 
-from typing import Protocol
+from typing import Optional, Protocol, Sequence
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,3 +45,80 @@ class MaskPassthroughEngine:
         if self._mask is None:
             return jnp.zeros(rgb.shape[:2], jnp.int32)
         return self._mask
+
+
+# COCO ids the reference filters to by default (YoloV8ObjectDetector:
+# person, bicycle, car, motorcycle, bus, truck)
+DEFAULT_CLASS_FILTER = (0, 1, 2, 3, 5, 7)
+
+
+class YoloV8DetectorEngine:
+    """JAX YOLOv8-seg end to end: raw RGB -> instance label image.
+
+    The whole per-frame pipeline (network + decode + NMS + mask combination)
+    is ONE jitted program; input size is fixed at construction (static
+    shapes). Images are resized (letterbox-free: plain resize, matching the
+    aspect-preserving 640-square export only if the caller provides it).
+    """
+
+    def __init__(
+        self,
+        params=None,
+        *,
+        num_classes: int = 80,
+        scale: str = "n",
+        input_hw=(384, 640),
+        max_detections: int = 32,
+        score_threshold: float = 0.25,
+        iou_threshold: float = 0.6,
+        class_ids: Optional[Sequence[int]] = DEFAULT_CLASS_FILTER,
+        use_pallas_masks: bool = True,
+        seed: int = 0,
+    ):
+        from dynosam_tpu.nn import postprocess as pp
+        from dynosam_tpu.nn import yolov8
+
+        self.input_hw = tuple(input_hw)
+        self.max_detections = max_detections
+        model = yolov8.YoloV8Seg(num_classes=num_classes, scale=scale)
+        if params is None:
+            _, params = yolov8.init_params(
+                jax.random.PRNGKey(seed), num_classes, scale, self.input_hw
+            )
+        self.model, self.params = model, params
+
+        H, W = self.input_hw
+
+        def _run(variables, rgb):
+            x = jax.image.resize(rgb, (H, W, 3), method="bilinear")
+            out = model.apply(variables, x[None])
+            single = jax.tree.map(lambda a: a[0], out)
+            boxes, scores, mcoef = pp.decode_all(single)
+            det = pp.nms(
+                boxes,
+                scores,
+                mcoef,
+                max_detections=max_detections,
+                score_threshold=score_threshold,
+                iou_threshold=iou_threshold,
+                class_ids=tuple(class_ids) if class_ids is not None else None,
+            )
+            masks = pp.combine_masks(
+                det, single["proto"], (H, W), use_pallas=use_pallas_masks
+            )
+            label = pp.masks_to_label_image(masks, det.scores)
+            # back to the caller's resolution
+            label_full = jax.image.resize(
+                label.astype(jnp.float32), rgb.shape[:2], method="nearest"
+            ).astype(jnp.int32)
+            return label_full, det
+
+        self._run = jax.jit(_run)
+
+    def process(self, rgb: jnp.ndarray) -> jnp.ndarray:
+        label, _ = self._run(self.params, rgb)
+        return label
+
+    def detect(self, rgb: jnp.ndarray):
+        """Full result: (label_image, Detections) — boxes/scores/classes."""
+        return self._run(self.params, rgb)

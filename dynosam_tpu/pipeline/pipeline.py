@@ -59,10 +59,20 @@ class DynoPipeline:
         intr: cam.CameraIntrinsics,
         output_path: Optional[str] = None,
         module_name: str = "dynosam_tpu",
+        detector=None,
     ):
+        """detector: optional ObjectDetectionEngine (nn/detector.py). When
+        given and prefer_provided_object_detection is False, the engine's
+        instance masks replace the dataset-provided masks (the reference's
+        FeatureTracker::objectDetection path, FeatureTracker.cc:104-105)."""
         cfg = cfg.normalized()
         self.cfg = cfg
         self.intr = intr
+        self.detector = detector
+        self._use_detector = (
+            detector is not None
+            and not cfg.frontend.tracker.prefer_provided_object_detection
+        )
         self.frontend_state = empty_frontend_state(cfg.frontend)
         self._frontend_step = jax.jit(
             lambda st, inp: frontend_step(st, inp, intr, cfg.frontend)
@@ -80,6 +90,11 @@ class DynoPipeline:
     def process_frame(
         self, inputs: FrameInputs, gt: Optional[GroundTruthFrame] = None
     ) -> BackendOutput:
+        if self._use_detector:
+            t = Timer("pipeline.detector").start()
+            inputs = inputs.replace(mask=self.detector.process(inputs.rgb))
+            t.stop(block_on=inputs.mask)
+
         t = Timer("pipeline.frontend").start()
         self.frontend_state, packet = self._frontend_step(self.frontend_state, inputs)
         t.stop(block_on=packet.X_world_cam)

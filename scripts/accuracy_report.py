@@ -87,32 +87,117 @@ def run_config(dense, formulation: int, mode: int, num_frames: int):
     )
 
 
+def run_config_dataset(ds, formulation: int, mode: int, num_frames: int):
+    """One config cell on an on-disk dataset (through the logger ->
+    DatasetEvaluator path, i.e. the same contract as run_dynosam.py)."""
+    import json
+    import shutil
+    import tempfile
+
+    from dynosam_tpu.config import (
+        BackendParams,
+        DynoConfig,
+        FrontendParams,
+        OptimizerParams,
+        TrackerParams,
+    )
+    from dynosam_tpu.eval.evaluator import DatasetEvaluator
+    from dynosam_tpu.pipeline.pipeline import DynoPipeline
+
+    cfg = DynoConfig(
+        frontend=FrontendParams(
+            max_objects=8,
+            tracker=TrackerParams(
+                max_features_per_frame=512,
+                min_features_per_frame=200,
+                max_dynamic_features_per_frame=768,
+                detection_cell_size=8,
+                min_corner_response=1e-6,
+            ),
+        ),
+        backend=BackendParams(
+            optimization_mode=mode,
+            backend_updater_enum=formulation,
+            max_frames=num_frames if mode == 0 else 8,
+            optimizer=OptimizerParams(max_iterations=10),
+        ),
+    )
+    out_dir = tempfile.mkdtemp(prefix="acc_")
+    try:
+        pipe = DynoPipeline(cfg, ds.intrinsics(), output_path=out_dir)
+        for k in range(num_frames):
+            pipe.process_frame(ds.frame(k), ds.ground_truth(k))
+        pipe.finish()
+        report = DatasetEvaluator(out_dir).write_report()
+        with open(report) as f:
+            rep = json.load(f)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    mod = next(iter(rep.values()))
+    cam_stats = mod["camera"]
+    objs = mod.get("objects", {})
+    ame_t = [o["ame_trans_rmse"] for o in objs.values()]
+    ame_r = [o["ame_rot_rmse"] for o in objs.values()]
+    n = sum(o["n_frames"] for o in objs.values())
+    return dict(
+        ate_t=cam_stats["ate_unaligned_trans_rmse"],
+        ate_r=cam_stats["ate_rot_rmse"],
+        rpe_t=cam_stats["rpe_trans_rmse"],
+        ame_t=float(np.sqrt(np.mean(np.square(ame_t)))) if ame_t else float("nan"),
+        ame_r=float(np.sqrt(np.mean(np.square(ame_r)))) if ame_r else float("nan"),
+        n_motions=n,
+    )
+
+
+FORMS = {0: "WCME", 1: "WCPE", 3: "Hybrid"}
+MODES = {0: "full-batch", 1: "sliding-window", 2: "incremental"}
+
+
+def _matrix(run_one):
+    rows = []
+    for form, fname in FORMS.items():
+        for mode, mname in MODES.items():
+            try:
+                r = run_one(form, mode)
+                rows.append((fname, mname, r))
+                print(
+                    f"{fname:8s} {mname:16s} ATE {r['ate_t']*100:7.3f} cm "
+                    f"AME {r['ame_t']*100:7.3f} cm rot {r['ame_r']:.5f} rad "
+                    f"[{r['n_motions']} motions]",
+                    flush=True,
+                )
+            except Exception as e:  # pragma: no cover
+                print(f"{fname} {mname}: FAILED {e}", flush=True)
+                rows.append((fname, mname, None))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--out", default="ACCURACY.md")
+    ap.add_argument(
+        "--dataset",
+        default=None,
+        help="dyno-KITTI dataset path; adds an on-disk-data section "
+        "(e.g. tests/fixtures/kitti_fixture)",
+    )
+    ap.add_argument("--dataset_frames", type=int, default=60)
     args = ap.parse_args()
 
     from dynosam_tpu.dataproviders.synthetic_dense import default_dense_scenario
 
     dense = default_dense_scenario(num_frames=args.frames)
+    rows = _matrix(lambda f, m: run_config(dense, f, m, args.frames))
 
-    FORMS = {0: "WCME", 1: "WCPE", 3: "Hybrid"}
-    MODES = {0: "full-batch", 1: "sliding-window", 2: "incremental"}
+    ds_rows = None
+    if args.dataset:
+        from dynosam_tpu.dataproviders.kitti import KittiDataProvider
 
-    rows = []
-    for form, fname in FORMS.items():
-        for mode, mname in MODES.items():
-            try:
-                r = run_config(dense, form, mode, args.frames)
-                rows.append((fname, mname, r))
-                print(f"{fname:8s} {mname:16s} ATE {r['ate_t']*100:7.3f} cm "
-                      f"(frontend {r['ate_fe_t']*100:.3f}) "
-                      f"AME {r['ame_t']*100:7.3f} cm rot {r['ame_r']:.5f} rad "
-                      f"[{r['n_motions']} motions]", flush=True)
-            except Exception as e:  # pragma: no cover
-                print(f"{fname} {mname}: FAILED {e}", flush=True)
-                rows.append((fname, mname, None))
+        ds = KittiDataProvider(args.dataset)
+        n_ds = min(args.dataset_frames, len(ds))
+        print(f"== dataset section: {args.dataset} ({n_ds} frames) ==")
+        ds_rows = _matrix(lambda f, m: run_config_dataset(ds, f, m, n_ds))
 
     with open(args.out, "w") as f:
         f.write(
@@ -135,6 +220,27 @@ def main():
                     f"{r['ate_fe_t']*100:.3f} | {r['ame_t']*100:.3f} | "
                     f"{r['ame_r']:.5f} | {r['n_motions']} |\n"
                 )
+        if ds_rows is not None:
+            f.write(
+                f"\n## On-disk dataset: `{args.dataset}` "
+                f"({args.dataset_frames} frames)\n\n"
+                "Loaded through the full dyno-KITTI file path (uint16\n"
+                "disparity decode, .flo flow, txt masks) — errors include\n"
+                "disparity quantization, matching real-sensor conditions.\n"
+                "Evaluated via the CSV-log -> DatasetEvaluator contract.\n\n"
+                "| Formulation | Mode | camera ATE (cm) | ATE rot (rad) | "
+                "object AME (cm) | AME rot (rad) | #motions |\n"
+                "|---|---|---|---|---|---|---|\n"
+            )
+            for fname, mname, r in ds_rows:
+                if r is None:
+                    f.write(f"| {fname} | {mname} | FAILED | | | | |\n")
+                else:
+                    f.write(
+                        f"| {fname} | {mname} | {r['ate_t']*100:.3f} | "
+                        f"{r['ate_r']:.5f} | {r['ame_t']*100:.3f} | "
+                        f"{r['ame_r']:.5f} | {r['n_motions']} |\n"
+                    )
     print(f"wrote {args.out}")
 
 

@@ -45,6 +45,15 @@ def main():
     ap.add_argument("--frames", type=int, default=None, help="limit frames")
     ap.add_argument("--run_analysis", action="store_true")
     ap.add_argument("--viz", action="store_true", help="dump tracking images")
+    ap.add_argument(
+        "--use_detector", action="store_true",
+        help="run the YOLOv8-seg engine instead of dataset masks "
+        "(prefer_provided_object_detection=false)",
+    )
+    ap.add_argument(
+        "--detector_weights", default=None,
+        help="ultralytics state_dict .pt for the detector (else random init)",
+    )
     args = ap.parse_args()
 
     from dynosam_tpu.config import DynoConfig, load_flags_file
@@ -97,7 +106,35 @@ def main():
 
     # ---- run ---------------------------------------------------------------
     os.makedirs(args.output_path, exist_ok=True)
-    pipe = DynoPipeline(cfg, intr, output_path=args.output_path, module_name=args.name)
+    detector = None
+    if args.use_detector:
+        import dataclasses
+
+        from dynosam_tpu.nn.detector import YoloV8DetectorEngine
+        from dynosam_tpu.nn.weights import load_ultralytics_weights
+
+        params = (
+            load_ultralytics_weights(args.detector_weights)
+            if args.detector_weights
+            else None
+        )
+        h = int(intr.height)
+        w = int(intr.width)
+        detector = YoloV8DetectorEngine(params=params, input_hw=(h, w))
+        cfg = dataclasses.replace(
+            cfg,
+            frontend=dataclasses.replace(
+                cfg.frontend,
+                tracker=dataclasses.replace(
+                    cfg.frontend.tracker,
+                    prefer_provided_object_detection=False,
+                ),
+            ),
+        )
+    pipe = DynoPipeline(
+        cfg, intr, output_path=args.output_path, module_name=args.name,
+        detector=detector,
+    )
     viz_writer = None
     if args.viz:
         from dynosam_tpu.pipeline.viz import DisplayWriter
