@@ -43,10 +43,12 @@ class DenseScenario:
         ground_y: float = 1.5,
         far_depth: float = 40.0,
         object_half_extent: float = 1.2,
+        world_texture: bool = False,
     ):
         assert intr.width > 0 and intr.height > 0
         self.scn = Scenario(spec, intr)
         self.intr = intr
+        self.world_texture = world_texture
         self.ground_y = ground_y
         self.far_depth = far_depth
         self.obj_e = object_half_extent
@@ -159,6 +161,35 @@ class DenseScenario:
         g = (g - g.min()) / (g.max() - g.min())
         return jnp.stack([g, g, g], axis=-1)
 
+    def _world_rgb(self, X_k, L_stack, depth, mask):
+        """Photo-consistent texture: intensity is a fixed procedural function
+        of the 3D surface point in its anchor frame (world for background,
+        object body frame L for object pixels), so the image actually moves
+        with the geometry — required for image-space tracking (KLT) tests.
+        The default screen-space texture (`_make_rgb`) cannot exercise
+        trackers: it is constant across frames."""
+        intr = self.intr
+        H, W = depth.shape
+        u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+        v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+        uv = jnp.stack([u, v], axis=-1)
+        pts_cam = cam.backproject(uv, depth, intr)
+        pts_w = lie.transform_points(X_k, pts_cam)
+        anchor = pts_w
+        for j, oid in enumerate(self.scn.object_ids):
+            p_L = lie.transform_points(lie.inverse(L_stack[j]), pts_w)
+            anchor = jnp.where((mask == oid)[..., None], p_L, anchor)
+        x, y, z = anchor[..., 0], anchor[..., 1], anchor[..., 2]
+        # two octaves: the low frequency survives at the far wall (where one
+        # pixel subtends ~0.5 m), the high one gives gradients up close
+        g = (
+            jnp.sin(4.1 * x) * jnp.sin(3.7 * y + 0.9 * z)
+            + 0.6 * jnp.sin(9.3 * x + 7.7 * y) * jnp.sin(8.1 * z)
+            + 0.5 * jnp.sin(1.1 * x + 1.3 * y + 0.7 * z)
+        )
+        g = jnp.clip(0.5 + 0.24 * g, 0.0, 1.0)
+        return jnp.stack([g, g, g], axis=-1)
+
     # ------------------------------------------------------------------
     def _render_frame(self, k):
         """Jitted: frame index (traced int) -> FrameInputs."""
@@ -176,9 +207,14 @@ class DenseScenario:
         depth_prev, mask_prev = self._depth_mask(X_prev, L_prev)
         flow = self._flow(X_prev, X_k, depth_prev, mask_prev, H_k)
         flow = jnp.where(k > 0, flow, jnp.zeros_like(flow))
+        rgb = (
+            self._world_rgb(X_k, L_k, depth, mask)
+            if self.world_texture
+            else self._rgb_const
+        )
         return FrameInputs(
             frame_id=k.astype(jnp.int32),
-            rgb=self._rgb_const,
+            rgb=rgb,
             depth=depth,
             flow=flow,
             mask=mask,
@@ -197,7 +233,7 @@ class DenseScenario:
 
 
 def default_dense_scenario(
-    num_frames=10, width=160, height=120, fov_scale=0.5
+    num_frames=10, width=160, height=120, fov_scale=0.5, world_texture=False
 ) -> DenseScenario:
     """A small dense scene for tests: camera driving forward, two objects."""
     import numpy as np
@@ -231,4 +267,4 @@ def default_dense_scenario(
             ),
         ],
     )
-    return DenseScenario(spec, intr)
+    return DenseScenario(spec, intr, world_texture=world_texture)

@@ -31,15 +31,28 @@ class FrontendState:
     X_prev_prev: jnp.ndarray   # (4, 4) pose at k-2 (constant-velocity prior)
     frame_idx: jnp.ndarray     # () int32
     key: jax.Array
+    # previous grayscale frame, carried only in KLT mode
+    # (prefer_provided_optical_flow=False); shape (0, 0) otherwise so the
+    # provided-flow path pays no HBM copy per step
+    prev_gray: jnp.ndarray
 
 
-def empty_frontend_state(params: FrontendParams, key=None, dtype=jnp.float32):
+def empty_frontend_state(
+    params: FrontendParams, key=None, dtype=jnp.float32, image_shape=None
+):
+    klt_mode = not params.tracker.prefer_provided_optical_flow
+    if klt_mode and image_shape is None:
+        raise ValueError(
+            "prefer_provided_optical_flow=False: pass "
+            "image_shape=(height, width) so the state can carry prev_gray"
+        )
     return FrontendState(
         tracker=empty_tracker_state(params, dtype),
         X_prev=jnp.eye(4, dtype=dtype),
         X_prev_prev=jnp.eye(4, dtype=dtype),
         frame_idx=jnp.array(0, jnp.int32),
         key=key if key is not None else jax.random.PRNGKey(0),
+        prev_gray=jnp.zeros(image_shape if klt_mode else (0, 0), dtype),
     )
 
 
@@ -62,6 +75,7 @@ def frontend_step(
     first = state.frame_idx == 0
     old = state.tracker
     gray = _to_gray(inputs.rgb)
+    klt_mode = not params.tracker.prefer_provided_optical_flow
     tracker = track_frame(
         old,
         gray,
@@ -70,6 +84,7 @@ def frontend_step(
         inputs.mask,
         params,
         first_frame=first,
+        prev_gray=state.prev_gray if klt_mode else None,
     )
 
     key, k_cam, k_obj = jax.random.split(state.key, 3)
@@ -154,5 +169,6 @@ def frontend_step(
         X_prev_prev=jnp.where(first, X_k, state.X_prev),
         frame_idx=state.frame_idx + 1,
         key=key,
+        prev_gray=gray.astype(state.prev_gray.dtype) if klt_mode else state.prev_gray,
     )
     return new_state, packet

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from dynosam_tpu.config import FrontendParams
 from dynosam_tpu.nn import bytetrack as bt
-from dynosam_tpu.ops import interp
+from dynosam_tpu.ops import interp, lk
+from dynosam_tpu.ops.clahe import clahe
 
 
 @flax.struct.dataclass
@@ -147,6 +148,16 @@ def _fill_free_slots(slot_tid, slot_valid, cand_score, cand_ok, max_new):
 # Main per-frame step
 # ---------------------------------------------------------------------------
 
+def _clahe_padded(gray, grid: int, clip: float):
+    """CLAHE for arbitrary H, W: edge-pad to grid multiples, equalize, crop."""
+    H, W = gray.shape
+    ph, pw = (-H) % grid, (-W) % grid
+    if ph or pw:
+        g = jnp.pad(gray, ((0, ph), (0, pw)), mode="edge")
+        return clahe(g, grid=grid, clip_limit=clip)[:H, :W]
+    return clahe(gray, grid=grid, clip_limit=clip)
+
+
 def track_frame(
     state: TrackerState,
     gray,                 # (H, W) float grayscale of frame k
@@ -155,12 +166,22 @@ def track_frame(
     mask,                 # (H, W) int32 instance labels at k
     params: FrontendParams,
     first_frame: bool = False,
+    prev_gray=None,       # (H, W) grayscale of k-1; required in KLT mode
 ):
     """One tracking step. Returns the updated TrackerState.
 
     Correspondence contract: slot i of the OLD state (uv/depth at k-1) and
     slot i of the NEW state (uv/depth at k) form the (k-1, k) correspondence
     when both `valid` flags are set and the tracklet id is unchanged.
+
+    Two propagation modes (reference: FeatureTracker.cc):
+      * provided-flow (prefer_provided_optical_flow=True): look up the dense
+        flow at each feature (trackDynamic:339-498 / ExternalFlow tracking);
+      * KLT (False): CLAHE-equalize both frames and run sparse pyramidal
+        Lucas-Kanade with forward-backward verification over static AND
+        dynamic features in one batch (StaticFeatureTracker.cc:226-285
+        `trackStatic`, FeatureTracker.cc:500 `trackDynamicKLT`) — tracking
+        from raw images, no dataset flow needed.
     """
     tp = params.tracker
     H, W = gray.shape
@@ -193,13 +214,46 @@ def track_frame(
         )
         mask = remap[jnp.clip(mask, 0, max_dets + 1)]
 
-    # ======== propagate static tracks ====================================
-    flow_s = interp.sample_flow(flow, state.s_uv)
-    s_uv = state.s_uv + flow_s
+    # ======== propagate tracks (provided dense flow OR sparse KLT) ========
+    if tp.prefer_provided_optical_flow:
+        s_uv = state.s_uv + interp.sample_flow(flow, state.s_uv)
+        d_uv = state.d_uv + interp.sample_flow(flow, state.d_uv)
+        ns = state.s_uv.shape[0]
+        s_prop_ok = jnp.ones((ns,), bool)
+        d_prop_ok = jnp.ones((state.d_uv.shape[0],), bool)
+    else:
+        if prev_gray is None:
+            raise ValueError(
+                "prefer_provided_optical_flow=False requires prev_gray "
+                "(carry it in FrontendState; see frontend_step)"
+            )
+        g0, g1 = prev_gray, gray
+        if tp.use_clahe:
+            g0 = _clahe_padded(g0, tp.clahe_grid, tp.clahe_clip_limit)
+            g1 = _clahe_padded(g1, tp.clahe_grid, tp.clahe_clip_limit)
+        ns = state.s_uv.shape[0]
+        uv_all = jnp.concatenate([state.s_uv, state.d_uv], axis=0)
+        valid_all = jnp.concatenate([state.s_valid, state.d_valid], axis=0)
+        uv1_all, ok_all = lk.lk_track(
+            g0,
+            g1,
+            uv_all,
+            valid_all,
+            levels=tp.klt_levels,
+            half=tp.klt_window_half,
+            iters=tp.klt_iterations,
+            min_eig=tp.klt_min_eig,
+            fb_threshold=tp.klt_fb_threshold,
+        )
+        s_uv, d_uv = uv1_all[:ns], uv1_all[ns:]
+        s_prop_ok, d_prop_ok = ok_all[:ns], ok_all[ns:]
+
+    # ======== static track validity =======================================
     s_label = interp.sample_label(mask, s_uv)
     s_depth = interp.sample_depth(depth, s_uv).astype(dtype)
     s_ok = (
         state.s_valid
+        & s_prop_ok
         & jnp.logical_not(first_frame)
         & in_bounds(s_uv)
         & (s_label == 0)
@@ -208,14 +262,12 @@ def track_frame(
         & (state.s_age < tp.max_feature_track_age)
     )
 
-    # ======== propagate dynamic tracks ===================================
-    flow_d = interp.sample_flow(flow, state.d_uv)
-    d_uv = state.d_uv + flow_d
+    # ======== dynamic track validity ======================================
     d_label = interp.sample_label(mask, d_uv)
     d_depth = interp.sample_depth(depth, d_uv).astype(dtype)
-    flow_mag = jnp.linalg.norm(flow_d, axis=-1)
     d_ok = (
         state.d_valid
+        & d_prop_ok
         & jnp.logical_not(first_frame)
         & in_bounds(d_uv)
         & (d_label == state.d_oid)      # label consistency (trackDynamic:412)

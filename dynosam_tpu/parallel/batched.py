@@ -47,10 +47,13 @@ class PipelineState:
     graph: GraphState
 
 
-def init_pipeline_state(cfg: DynoConfig, key=None) -> PipelineState:
+def init_pipeline_state(cfg: DynoConfig, key=None, image_shape=None) -> PipelineState:
+    """image_shape=(height, width) is required only in KLT mode
+    (prefer_provided_optical_flow=False), where the frontend state carries
+    the previous grayscale frame."""
     cfg = cfg.normalized()
     return PipelineState(
-        frontend=empty_frontend_state(cfg.frontend, key=key),
+        frontend=empty_frontend_state(cfg.frontend, key=key, image_shape=image_shape),
         graph=graph_mod.empty_graph(cfg.backend),
     )
 

@@ -73,7 +73,9 @@ class DynoPipeline:
             detector is not None
             and not cfg.frontend.tracker.prefer_provided_object_detection
         )
-        self.frontend_state = empty_frontend_state(cfg.frontend)
+        self.frontend_state = empty_frontend_state(
+            cfg.frontend, image_shape=(intr.height, intr.width)
+        )
         self._frontend_step = jax.jit(
             lambda st, inp: frontend_step(st, inp, intr, cfg.frontend)
         )
