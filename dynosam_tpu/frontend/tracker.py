@@ -323,11 +323,73 @@ def track_frame(
     dcand_label = interp.sample_label(mask, dcand_uv)
     dcand_depth = interp.sample_depth(depth, dcand_uv).astype(dtype)
     occ_d = _occupancy(d_uv, d_ok, dcell, dgh, dgw)
+
+    # ---- per-object re-sampling decision (requiresSampling) -------------
+    # Reference: FeatureTracker::requiresSampling (/root/reference/dynosam/
+    # src/frontend/vision/FeatureTracker.cc:1018-1149, params
+    # FrontendParams.yaml:64-70): an already-tracked object is re-sampled
+    # only when (a) >80% of its tracks will expire within age_buffer frames,
+    # (b) it has fewer than min_dynamic_tracks tracks, or (c) the IoU of the
+    # tracked-point bbox vs the detection bbox fell below min_dynamic_mask_iou.
+    # New objects (label not in the slot table) are always sampled. The
+    # detection bbox is taken over candidate cell centers carrying the label —
+    # the cell-resolution analogue of the reference's mask bounding box.
+    age_buffer = max(3, tp.dynamic_feature_age_buffer)
+    expiry_age = tp.max_dynamic_feature_age - age_buffer
+    obj = state.obj_ids                                    # (J,)
+    trk = (state.d_oid[None, :] == obj[:, None]) & d_ok[None, :]   # (J, Nd)
+    n_tracked = jnp.sum(trk, axis=1)
+    geriatric = jnp.sum(trk & (state.d_age[None, :] > expiry_age), axis=1)
+    many_old = geriatric > 0.8 * n_tracked
+    too_few = n_tracked < tp.min_dynamic_tracks
+
+    def _bbox(sel, uv):
+        # sel (J, N) bool; uv (N, 2) -> (J, 4) [umin, vmin, umax, vmax]
+        big = jnp.asarray(1e9, dtype)
+        u, v = uv[None, :, 0], uv[None, :, 1]
+        return jnp.stack(
+            [
+                jnp.min(jnp.where(sel, u, big), axis=1),
+                jnp.min(jnp.where(sel, v, big), axis=1),
+                jnp.max(jnp.where(sel, u, -big), axis=1),
+                jnp.max(jnp.where(sel, v, -big), axis=1),
+            ],
+            axis=-1,
+        )
+
+    det_sel = dcand_label[None, :] == obj[:, None]          # (J, C)
+    bb_trk = _bbox(trk, d_uv)
+    bb_det = _bbox(det_sel, dcand_uv)
+    ix = jnp.clip(
+        jnp.minimum(bb_trk[:, 2], bb_det[:, 2])
+        - jnp.maximum(bb_trk[:, 0], bb_det[:, 0]),
+        0.0,
+    )
+    iy = jnp.clip(
+        jnp.minimum(bb_trk[:, 3], bb_det[:, 3])
+        - jnp.maximum(bb_trk[:, 1], bb_det[:, 1]),
+        0.0,
+    )
+    inter = ix * iy
+    area = lambda b: jnp.clip(b[:, 2] - b[:, 0], 0.0) * jnp.clip(
+        b[:, 3] - b[:, 1], 0.0
+    )
+    union = area(bb_trk) + area(bb_det) - inter
+    iou = inter / jnp.maximum(union, 1e-6)
+    small_iou = iou < tp.min_dynamic_mask_iou
+    resample = many_old | too_few | small_iou | (n_tracked == 0)
+
+    cand_match = dcand_label[None, :] == obj[:, None]       # (J, C)
+    cand_known = jnp.any(cand_match & (obj > 0)[:, None], axis=0)
+    cand_resample = jnp.any(cand_match & resample[:, None], axis=0)
+    sampling_ok = ~cand_known | cand_resample
+
     dcand_ok = (
         (dcand_label > 0)
         & (dcand_depth > 0)
         & (dcand_depth < params.max_object_depth)
         & ~occ_d
+        & sampling_ok
         & in_bounds(dcand_uv)
     )
     # score: prefer nearer (stronger depth) objects -> use -depth as score

@@ -1,0 +1,123 @@
+"""Per-object dynamic re-sampling criteria (requiresSampling parity).
+
+Reference: FeatureTracker::requiresSampling (/root/reference/dynosam/src/
+frontend/vision/FeatureTracker.cc:1018-1149): an object already in the slot
+table is re-sampled only when tracks are too few, mostly geriatric, or the
+tracked bbox drifted off the detection bbox; otherwise its slots are NOT
+greedily refilled every frame.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynosam_tpu.config import FrontendParams, TrackerParams
+from dynosam_tpu.frontend.tracker import empty_tracker_state, track_frame
+
+
+def _params(**kw):
+    tk = dict(
+        max_features_per_frame=64,
+        min_features_per_frame=8,
+        max_dynamic_features_per_frame=64,
+        detection_cell_size=8,
+        min_corner_response=1e-9,
+        min_dynamic_tracks=5,
+        min_dynamic_mask_iou=0.1,
+        dynamic_feature_age_buffer=3,
+        max_dynamic_feature_age=20,
+        min_distance_btw_tracked_and_detected_dynamic_features=4,
+    )
+    tk.update(kw)
+    return FrontendParams(max_objects=4, tracker=TrackerParams(**tk))
+
+
+def _scene(H=64, W=96):
+    rng = np.random.default_rng(0)
+    gray = jnp.asarray(rng.random((H, W), np.float32))
+    depth = jnp.full((H, W), 8.0, jnp.float32)
+    flow = jnp.zeros((H, W, 2), jnp.float32)
+    mask = jnp.zeros((H, W), jnp.int32).at[16:48, 24:72].set(1)
+    return gray, depth, flow, mask
+
+
+def _seed_state(params, n_tracks, ages, H=64, W=96):
+    """State with n_tracks valid dynamic features spread over the object."""
+    st = empty_tracker_state(params)
+    us = np.linspace(28, 68, max(n_tracks, 1))
+    vs = np.linspace(20, 44, max(n_tracks, 1))
+    idx = np.arange(n_tracks)
+    st = st.replace(
+        d_uv=st.d_uv.at[idx, 0].set(us[:n_tracks]).at[idx, 1].set(vs[:n_tracks]),
+        d_depth=st.d_depth.at[idx].set(8.0),
+        d_tid=st.d_tid.at[idx].set(idx),
+        d_oid=st.d_oid.at[idx].set(1),
+        d_age=st.d_age.at[idx].set(ages),
+        d_valid=st.d_valid.at[idx].set(True),
+        obj_ids=st.obj_ids.at[0].set(1),
+        next_tid=jnp.asarray(1000, jnp.int32),
+    )
+    return st
+
+
+def _new_dynamic_tracklets(old, new):
+    """Count of dynamic slots holding tracklets that did not exist before."""
+    newly = new.d_valid & (new.d_tid >= 1000)
+    return int(np.sum(np.asarray(newly)))
+
+
+class TestRequiresSampling:
+    def test_healthy_object_not_resampled(self):
+        p = _params()
+        g, d, f, m = _scene()
+        st = _seed_state(p, n_tracks=10, ages=2)
+        out = track_frame(st, g, d, f, m, p)
+        assert _new_dynamic_tracklets(st, out) == 0
+        # the existing tracks survived
+        assert int(np.sum(np.asarray(out.d_valid))) == 10
+
+    def test_too_few_tracks_resampled(self):
+        p = _params()
+        g, d, f, m = _scene()
+        st = _seed_state(p, n_tracks=3, ages=2)
+        out = track_frame(st, g, d, f, m, p)
+        assert _new_dynamic_tracklets(st, out) > 0
+
+    def test_geriatric_tracks_resampled(self):
+        p = _params()
+        g, d, f, m = _scene()
+        # all 10 tracks above expiry age (20 - 3 = 17)
+        st = _seed_state(p, n_tracks=10, ages=18)
+        out = track_frame(st, g, d, f, m, p)
+        assert _new_dynamic_tracklets(st, out) > 0
+
+    def test_low_iou_resampled(self):
+        p = _params()
+        g, d, f, m = _scene()
+        st = _seed_state(p, n_tracks=10, ages=2)
+        # crowd all tracks into one corner of the object: tracked bbox is a
+        # sliver of the detection bbox -> IoU below threshold
+        idx = jnp.arange(10)
+        st = st.replace(
+            d_uv=st.d_uv.at[idx, 0].set(25.0 + 0.2 * idx).at[idx, 1].set(17.0),
+        )
+        out = track_frame(st, g, d, f, m, p)
+        assert _new_dynamic_tracklets(st, out) > 0
+
+    def test_new_object_always_sampled(self):
+        p = _params()
+        g, d, f, m = _scene()
+        st = empty_tracker_state(p)        # no tracks, no slots
+        out = track_frame(st, g, d, f, m, p)
+        n_on_obj = int(
+            np.sum(np.asarray(out.d_valid & (out.d_oid == 1)))
+        )
+        assert n_on_obj > 0
+
+    def test_config_fields_consumed(self):
+        """Raising min_dynamic_tracks must flip the healthy case to
+        resampling (guards against the fields going dead again)."""
+        p = _params(min_dynamic_tracks=30)
+        g, d, f, m = _scene()
+        st = _seed_state(p, n_tracks=10, ages=2)
+        out = track_frame(st, g, d, f, m, p)
+        assert _new_dynamic_tracklets(st, out) > 0
