@@ -132,12 +132,17 @@ class RegularBackend:
     def _device_outputs(self, st):
         """Jitted accessor: canonical outputs from the graph state."""
         f = jnp.clip(st.num_frames - 1, 0, st.F - 1)
+        fprev = jnp.maximum(f - 1, 0)
         if self.wcpe:
             from dynosam_tpu.backend import wcpe as wcpe_mod
 
             H_out = wcpe_mod.f2f_motion(st, f)
             md_world = st.md[:, f]
             obj_pose = st.H[:, f]
+            # an F2F motion needs BOTH pose variables: L at f-1 and f.
+            # Without the f-1 gate the first motion frame reports
+            # L_f * I^{-1} = the centroid pose as a "motion".
+            H_valid = st.H_valid[:, f] & st.H_valid[:, fprev] & (f > 0)
         elif self.hybrid:
             H_out = hybrid.f2f_motion(st, f)          # F2F for output parity
             md_world = lie.transform_points(
@@ -147,14 +152,22 @@ class RegularBackend:
                 st.m_hyb,
             )
             obj_pose = hybrid.object_pose(st, f)
+            # slot f-1 is valid as a motion reference if it carries a motion
+            # variable OR is the object's keyframe (H_{e,e} = I, a constant)
+            H_valid = (
+                st.H_valid[:, f]
+                & (st.H_valid[:, fprev] | (st.kf_slot == fprev))
+                & (f > 0)
+            )
         else:
             H_out = st.H[:, f]
             md_world = st.md[:, f]
             obj_pose = jnp.broadcast_to(jnp.eye(4, dtype=st.X.dtype), (st.J, 4, 4))
+            H_valid = st.H_valid[:, f]
         return dict(
             X=st.X[f],
             H=H_out,
-            H_valid=st.H_valid[:, f],
+            H_valid=H_valid,
             md_world=md_world,
             obj_pose=obj_pose,
         )
@@ -235,10 +248,20 @@ class RegularBackend:
         j = int(js[0])
         if not bool(self.state.H_valid[j, f]):
             return None
+        fprev = max(f - 1, 0)
         if self.hybrid:
+            # F2F needs the f-1 reference: a motion variable there, or the
+            # object's keyframe slot (H_{e,e} = I)
+            if f == 0 or not (
+                bool(self.state.H_valid[j, fprev])
+                or int(self.state.kf_slot[j]) == fprev
+            ):
+                return None
             return np.asarray(hybrid.f2f_motion(self.state, f)[j])
         if self.wcpe:
             from dynosam_tpu.backend import wcpe
 
+            if f == 0 or not bool(self.state.H_valid[j, fprev]):
+                return None
             return np.asarray(wcpe.f2f_motion(self.state, f)[j])
         return np.asarray(self.state.H[j, f])

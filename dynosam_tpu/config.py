@@ -88,6 +88,21 @@ class TrackerParams:
 
 
 @dataclass
+class ImuConfig:
+    """IMU handling (ImuParams.yaml analogue). Used when FrameInputs carry
+    preintegration windows; see frontend/imu.py."""
+
+    # world gravity vector; camera-world convention (x right, y down,
+    # z forward) puts gravity along +y
+    gravity: tuple = (0.0, 9.81, 0.0)
+    accel_bias: tuple = (0.0, 0.0, 0.0)
+    gyro_bias: tuple = (0.0, 0.0, 0.0)
+    # trust the preintegrated rotation as the RANSAC hypothesis rotation
+    # (EgoMotionSolver's known-rotation / R_curr_ref mode)
+    use_rotation_prior: bool = True
+
+
+@dataclass
 class FrontendParams:
     scene_flow_mag_threshold: float = 0.12
     scene_flow_dist_threshold: float = 0.5
@@ -95,6 +110,8 @@ class FrontendParams:
     max_object_depth: float = 30.0
     min_object_points: int = 8            # objects with fewer tracks are dropped
     use_propogate_mask: bool = True       # [sic] reference flag spelling
+    use_imu: bool = False                 # consume FrameInputs.imu_samples
+    imu: ImuConfig = field(default_factory=ImuConfig)
     tracker: TrackerParams = field(default_factory=TrackerParams)
     motion_solver: MotionSolverParams = field(default_factory=MotionSolverParams)
     max_objects: int = 16                 # static per-frame object capacity
@@ -160,7 +177,12 @@ class BackendParams:
     use_smoothing_factor: bool = True
     min_static_observations: int = 2
     min_dynamic_observations: int = 3
-    init_H_with_identity: bool = True
+    # Initialise new motion variables from the frontend's F2F estimate, as
+    # the reference's Formulation does for new theta values. Identity init
+    # (the old default) converges orders of magnitude slower on real data:
+    # the tight ternary creates a stiff valley and streamed outputs stay
+    # near identity for the frames spent inside the window.
+    init_H_with_identity: bool = False
     regular_backend_static_only: bool = False
     num_dynamic_optimize: int = 0
     noise: NoiseParams = field(default_factory=NoiseParams)

@@ -39,10 +39,14 @@ class ObjectSpec:
 class ScenarioSpec:
     num_frames: int = 20
     num_static: int = 256
-    # camera trajectory: constant twist per frame (forward + slight turn)
+    # camera trajectory: per-frame twist. Either a (6,) constant twist or a
+    # (num_frames-1, 6) array of per-interval twists (varying motion — needed
+    # to exercise IMU value: constant twists are exactly predicted by the
+    # constant-velocity fallback, so IMU adds nothing there)
     camera_motion_xi: np.ndarray = field(
         default_factory=lambda: np.array([0.0, 0.01, 0.0, 0.0, 0.0, 0.4])
     )
+    frame_dt: float = 0.1                # seconds between frames (IMU timing)
     static_extent: float = 25.0
     static_depth_range: tuple = (4.0, 40.0)
     objects: List[ObjectSpec] = field(default_factory=list)
@@ -86,10 +90,13 @@ class Scenario:
         k_static, k_obj, self._noise_key = jax.random.split(key, 3)
 
         # --- ground-truth camera trajectory ---------------------------------
-        dT = lie.se3_exp(jnp.asarray(spec.camera_motion_xi, jnp.float32))
+        xi = np.asarray(spec.camera_motion_xi, np.float32)
+        if xi.ndim == 1:
+            xi = np.tile(xi[None, :], (max(spec.num_frames - 1, 1), 1))
+        self.camera_twists = jnp.asarray(xi)              # (K-1, 6)
         poses = [lie.identity()]
-        for _ in range(spec.num_frames - 1):
-            poses.append(lie.compose(poses[-1], dT))
+        for k in range(spec.num_frames - 1):
+            poses.append(lie.compose(poses[-1], lie.se3_exp(self.camera_twists[k])))
         self.X_gt = jnp.stack(poses)                      # (K, 4, 4)
 
         # --- static landmarks -----------------------------------------------
@@ -137,6 +144,52 @@ class Scenario:
     # ------------------------------------------------------------------
     def num_dynamic_points(self) -> int:
         return sum(o.num_points for o in self.spec.objects)
+
+    # --- synthetic IMU ----------------------------------------------------
+    def camera_velocity(self, k: int):
+        """World-frame linear velocity during interval (k, k+1] at its start
+        (piecewise-constant-twist trajectories have constant BODY velocity
+        within an interval: v_w(t) = R(t) v_b)."""
+        kk = min(k, self.camera_twists.shape[0] - 1)
+        v_b = self.camera_twists[kk, 3:] / self.spec.frame_dt
+        return lie.rotate_points(lie.rotation(self.X_gt[k]), v_b)
+
+    def imu_window(self, k: int, n_samples: int = 32, gravity=(0.0, 9.81, 0.0)):
+        """Exact IMU measurements over the interval (k-1, k].
+
+        Within an interval the trajectory is a constant body twist, so
+        gyro = w_b (constant) and the specific force at local time t is
+        f(t) = w_b x v_b - R(t)^T g with R(t) = R_{k-1} exp(hat(w_b) t).
+        Returns ((S, 7) rows [dt ax ay az gx gy gz], (S,) mask) — the
+        contract of FrameInputs.imu_samples. k=0 returns an all-invalid
+        window (no preceding interval).
+        """
+        S = n_samples
+        if k <= 0:
+            return (
+                jnp.zeros((S, 7), jnp.float32),
+                jnp.zeros((S,), bool),
+            )
+        dt_f = self.spec.frame_dt
+        xi = self.camera_twists[k - 1]
+        w_b = xi[:3] / dt_f
+        v_b = xi[3:] / dt_f
+        g = jnp.asarray(gravity, jnp.float32)
+        R_prev = lie.rotation(self.X_gt[k - 1])
+        dt_s = dt_f / S
+        t_mid = (jnp.arange(S, dtype=jnp.float32) + 0.5) * dt_s
+        R_t = jax.vmap(lambda t: lie.mm(R_prev, lie.so3_exp(w_b * t)))(t_mid)
+        a_centripetal = jnp.cross(w_b, v_b)               # body frame, constant
+        f = a_centripetal[None, :] - lie.einsum("sba,b->sa", R_t, g)
+        rows = jnp.concatenate(
+            [
+                jnp.full((S, 1), dt_s, jnp.float32),
+                f,
+                jnp.broadcast_to(w_b, (S, 3)),
+            ],
+            axis=-1,
+        )
+        return rows, jnp.ones((S,), bool)
 
     def ground_truth(self, k: int, max_objects: int = 16) -> GroundTruthFrame:
         J = len(self.object_ids)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from dynosam_tpu.config import FrontendParams
 from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.frontend import imu as imu_mod
 from dynosam_tpu.frontend import motion
 from dynosam_tpu.frontend.tracker import TrackerState, empty_tracker_state, track_frame
 from dynosam_tpu.frontend.types import FrameInputs, TrackTable, VisionPacket
@@ -35,6 +36,9 @@ class FrontendState:
     # (prefer_provided_optical_flow=False); shape (0, 0) otherwise so the
     # provided-flow path pays no HBM copy per step
     prev_gray: jnp.ndarray
+    # world-frame linear velocity estimate for IMU nav-state propagation
+    # (zeros and untouched when use_imu is off)
+    v_world: jnp.ndarray
 
 
 def empty_frontend_state(
@@ -53,6 +57,7 @@ def empty_frontend_state(
         frame_idx=jnp.array(0, jnp.int32),
         key=key if key is not None else jax.random.PRNGKey(0),
         prev_gray=jnp.zeros(image_shape if klt_mode else (0, 0), dtype),
+        v_world=jnp.zeros((3,), dtype),
     )
 
 
@@ -102,6 +107,35 @@ def frontend_step(
     vel = lie.compose(lie.inverse(state.X_prev_prev), state.X_prev)
     X_prior = lie.compose(state.X_prev, vel)
 
+    # ---- IMU preintegration (RGBDInstanceFrontendModule.cc:135) ---------
+    # The preintegrated nav-state supplies (a) the prior/fallback pose (the
+    # reference prefers the IMU prediction over constant velocity when PnP
+    # fails, :324-370) and (b) a known-rotation hypothesis for RANSAC
+    # (MotionSolver.cc:216-311 R_curr_ref mode).
+    use_imu = params.use_imu and inputs.imu_samples is not None
+    R_known = None
+    pim_dt = jnp.zeros((), X_prior.dtype)
+    if use_imu:
+        imu_params = imu_mod.ImuParams.create(
+            gravity=params.imu.gravity,
+            accel_bias=jnp.asarray(params.imu.accel_bias, X_prior.dtype),
+            gyro_bias=jnp.asarray(params.imu.gyro_bias, X_prior.dtype),
+        )
+        pim = imu_mod.preintegrate(
+            inputs.imu_samples, inputs.imu_valid, imu_params
+        )
+        pim_dt = pim.dt
+        X_imu, v_imu = imu_mod.predict(
+            state.X_prev, state.v_world, pim, imu_params
+        )
+        has_imu = (pim.dt > 0) & (~first)
+        X_prior = jnp.where(has_imu, X_imu, X_prior)
+        if params.imu.use_rotation_prior:
+            # RANSAC solves T_cam_world; pin its rotation to the IMU's
+            R_cw_imu = jnp.swapaxes(lie.rotation(X_imu), -1, -2)
+            R_cw_cv = jnp.swapaxes(lie.rotation(X_prior), -1, -2)
+            R_known = jnp.where(has_imu, R_cw_imu, R_cw_cv)
+
     cam_res = motion.solve_camera_pose(
         k_cam,
         pts_world_prev,
@@ -111,6 +145,7 @@ def frontend_step(
         intr,
         params.motion_solver,
         X_prior,
+        R_known=R_known,
     )
     X_k = jnp.where(first, jnp.eye(4, dtype=state.X_prev.dtype), cam_res.pose)
 
@@ -163,6 +198,18 @@ def frontend_step(
         pose_valid=cam_res.valid | first,
     )
 
+    # velocity update for the next IMU propagation: finite difference of the
+    # solved poses over the preintegration span
+    if use_imu:
+        v_new = jnp.where(
+            pim_dt > 1e-6,
+            (lie.translation(X_k) - lie.translation(state.X_prev))
+            / jnp.maximum(pim_dt, 1e-6),
+            state.v_world,
+        )
+    else:
+        v_new = state.v_world
+
     new_state = FrontendState(
         tracker=tracker,
         X_prev=X_k,
@@ -170,5 +217,6 @@ def frontend_step(
         frame_idx=state.frame_idx + 1,
         key=key,
         prev_gray=gray.astype(state.prev_gray.dtype) if klt_mode else state.prev_gray,
+        v_world=v_new,
     )
     return new_state, packet

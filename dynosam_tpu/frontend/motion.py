@@ -74,20 +74,36 @@ def solve_camera_pose(
     intr: cam.CameraIntrinsics,
     params: MotionSolverParams,
     X_prior,            # (4,4) prior pose (e.g. constant-velocity prediction)
+    R_known=None,       # (3,3) known camera rotation R_cam_world at k (IMU)
 ) -> MotionSolveResult:
     """Estimate X_world_cam at frame k.
 
     Falls back to `X_prior` when RANSAC fails (< min_inliers), mirroring the
     reference's constant-velocity / IMU fallback
     (RGBDInstanceFrontendModule.cc:324-370).
+
+    R_known: the EgoMotionSolver known-rotation mode (the reference's 2-point
+    RANSAC with an IMU rotation prior, MotionSolver.cc:216-311): hypotheses
+    solve translation only with the rotation pinned, which shrinks the
+    minimal problem and is robust when most correspondences sit on one plane.
+    The refit and GN stages still refine the full pose.
     """
     rp = params.camera
     data = {"p_w": pts_world, "uv": uv_k, "p_c": pts_cam_k}
 
-    def solve_fn(s):
-        # T maps world -> camera_k; closed-form triad on the 3-point minimal
-        # set (exact = Kabsch for congruent samples; no SVD custom-call)
-        return kabsch.solve_rigid_3pt(s["p_w"], s["p_c"])
+    if R_known is None:
+        def solve_fn(s):
+            # T maps world -> camera_k; closed-form triad on the 3-point
+            # minimal set (exact = Kabsch for congruent samples; no SVD
+            # custom-call)
+            return kabsch.solve_rigid_3pt(s["p_w"], s["p_c"])
+    else:
+        def solve_fn(s):
+            # rotation pinned: each sample point votes t = p_c - R p_w
+            t = jnp.mean(
+                s["p_c"] - lie.rotate_points(R_known, s["p_w"]), axis=0
+            )
+            return lie.make_pose(R_known, t)
 
     def residual_fn(T_cw, d):
         # squared pixel error (elementwise-fused); threshold is squared below

@@ -96,6 +96,11 @@ class FrameInputs:
     depth: jnp.ndarray
     flow: jnp.ndarray
     mask: jnp.ndarray
+    # optional IMU window covering (t_{k-1}, t_k] for preintegration
+    # (frontend/imu.py): (S, 7) rows [dt ax ay az gx gy gz] + (S,) mask.
+    # None when the dataset has no IMU (the pytree simply lacks the leaves).
+    imu_samples: jnp.ndarray = None
+    imu_valid: jnp.ndarray = None
 
 
 @flax.struct.dataclass

@@ -113,11 +113,29 @@ def make_fused_step(
 
     def _outputs(g, packet):
         latest = jnp.clip(g.num_frames - 1, 0, cfg.backend.max_frames - 1)
+        prev = jnp.maximum(latest - 1, 0)
+        # F2F world motion + its validity (both reference slots must exist;
+        # see RegularBackend._device_outputs for the per-formulation rules)
+        if bcfg.backend_updater_enum == 3:
+            H_out = hybrid_mod.f2f_motion(g, latest)
+            H_ok = (
+                g.H_valid[:, latest]
+                & (g.H_valid[:, prev] | (g.kf_slot == prev))
+                & (latest > 0)
+            )
+        elif bcfg.backend_updater_enum == 1:
+            from dynosam_tpu.backend import wcpe as wcpe_mod
+
+            H_out = wcpe_mod.f2f_motion(g, latest)
+            H_ok = g.H_valid[:, latest] & g.H_valid[:, prev] & (latest > 0)
+        else:
+            H_out = g.H[:, latest]
+            H_ok = g.H_valid[:, latest]
         return {
             "X_world_cam": g.X[latest],
             "object_ids": g.obj_ids,
-            "object_motions": g.H[:, latest],
-            "object_motion_valid": g.H_valid[:, latest],
+            "object_motions": H_out,
+            "object_motion_valid": H_ok,
             "frontend_pose": packet.X_world_cam,
         }
 

@@ -74,7 +74,10 @@ class TestFullBatch:
         e0 = float(solver.total_error(st, cfg))
         st = solver.optimize(st, cfg)
         e1 = float(solver.total_error(st, cfg))
-        assert e1 < 0.1 * e0
+        # motions now initialise from the packet (init_H_with_identity=False)
+        # so e0 starts much closer to the optimum than with identity init
+        # (identity: ratio ~72x; packet init: ~6.6x to the same e1)
+        assert e1 < 0.2 * e0
 
     def test_noisy_accuracy(self, noisy_scn):
         cfg = small_cfg()
