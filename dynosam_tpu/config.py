@@ -67,6 +67,13 @@ class TrackerParams:
     # frame border shrink for dynamic tracking validity
     shrink_row: int = 0
     shrink_col: int = 0
+    # keep detections this many pixels away from object silhouettes (the
+    # reference builds a boundary detection mask of ~10 px at 640x480 around
+    # every object, FeatureTracker::objectDetection) — boundary pixels carry
+    # mixed depth/flow and poison both static and dynamic measurements.
+    # -1 = auto: the reference's area-scaled formula
+    # round((W*H)/(640*480) * 640/480 * 7.51), at least 1.
+    object_boundary_margin: int = -1
     prefer_provided_optical_flow: bool = True
     prefer_provided_object_detection: bool = True
     # detection grid cell size (GFTT+ANMS analogue: per-cell best corner)

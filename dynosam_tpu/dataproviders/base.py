@@ -50,14 +50,23 @@ def create_dataset(dataset_type: int, path: str, **kwargs):
 
         return KittiDataProvider(path, **kwargs)
     if t == DatasetType.VIRTUAL_KITTI:
+        import os
+
+        from dynosam_tpu.dataproviders.vkitti import VirtualKittiDataProvider
+
+        # native VKITTI-2 layout when the versioned folders exist; otherwise
+        # fall back to the dyno-KITTI repack with png masks
+        if any(d.startswith("vkitti_") for d in os.listdir(path)):
+            return VirtualKittiDataProvider(path, **kwargs)
         from dynosam_tpu.dataproviders.kitti import KittiDataProvider
 
-        # Virtual KITTI is served through the same folder loader with
-        # png-encoded masks (reference: VirtualKittidataProvider.cc uses
-        # loadMask rather than the txt masks).
         kwargs.setdefault("mask_format", "png")
         return KittiDataProvider(path, **kwargs)
+    if t == DatasetType.OMD:
+        from dynosam_tpu.dataproviders.omd import OmdDataProvider
+
+        return OmdDataProvider(path, **kwargs)
     raise NotImplementedError(
         f"Dataset type {t.name} is not implemented yet in dynosam_tpu "
-        "(KITTI / VIRTUAL_KITTI / SYNTHETIC available)."
+        "(KITTI / VIRTUAL_KITTI / OMD / SYNTHETIC available)."
     )

@@ -135,6 +135,11 @@ class DatasetEvaluator:
                 ame = metrics.ame(H_est, H_gt)
                 entry["ame_trans_rmse"] = ame.trans_rmse
                 entry["ame_rot_rmse"] = ame.rot_rmse
+                # medians alongside the RMSE: a handful of information-poor
+                # frames (object re-entering, near-total occlusion) dominate
+                # an RMS while the typical-frame accuracy is the median
+                entry["ame_trans_median"] = float(np.median(ame.trans_errors))
+                entry["ame_rot_median"] = float(np.median(ame.rot_errors))
                 # RME needs GT object poses at k-1 and k
                 if oid in poses and poses[oid][2] is not None:
                     pf, _, L_gt = poses[oid]

@@ -290,6 +290,29 @@ def track_frame(
     cand_uv = jnp.stack([cu, cv], axis=-1)
     cand_label = interp.sample_label(mask, cand_uv)
     cand_depth = interp.sample_depth(depth, cand_uv).astype(dtype)
+    # Dense interior map: pixels whose +-margin neighbours share their label
+    # — the reference's object-boundary detection mask
+    # (FeatureTracker::objectDetection, ~10 px at 640x480, area-scaled).
+    # Boundary pixels carry mixed depth/flow and poison measurements.
+    # Computed once with VPU shift-compares (rolls), then sampled per
+    # candidate with the same nearest gather as the labels.
+    margin = tp.object_boundary_margin
+    if margin < 0:
+        margin = max(1, round(H * W / (640.0 * 480.0) * (640.0 / 480.0) * 7.51))
+    if margin > 0:
+        interior_map = (
+            (jnp.roll(mask, margin, 0) == mask)
+            & (jnp.roll(mask, -margin, 0) == mask)
+            & (jnp.roll(mask, margin, 1) == mask)
+            & (jnp.roll(mask, -margin, 1) == mask)
+        )
+    else:
+        interior_map = jnp.ones_like(mask, bool)
+
+    def away_from_boundaries(uv, label):
+        del label
+        return interp.sample_nearest(interior_map, uv)
+
     occ_s = _occupancy(s_uv, s_ok, cell, gh, gw)
     cand_ok_s = (
         (best > tp.min_corner_response)
@@ -297,6 +320,7 @@ def track_frame(
         & (cand_depth > 0)
         & (cand_depth < params.max_background_depth)
         & ~occ_s
+        & away_from_boundaries(cand_uv, cand_label)
         & in_bounds(cand_uv)
     )
     need_static = jnp.sum(s_ok) < tp.min_features_per_frame
@@ -390,6 +414,7 @@ def track_frame(
         & (dcand_depth < params.max_object_depth)
         & ~occ_d
         & sampling_ok
+        & away_from_boundaries(dcand_uv, dcand_label)
         & in_bounds(dcand_uv)
     )
     # score: prefer nearer (stronger depth) objects -> use -depth as score

@@ -56,8 +56,19 @@ def sample_bilinear(img, uv):
 
 
 def sample_flow(flow, uv):
-    """Sample a dense (H, W, 2) flow field bilinearly at uv."""
-    return sample_bilinear(flow, uv)
+    """Flow lookup at tracked keypoints — NEAREST-neighbour.
+
+    Reference parity: FeatureTracker::trackDynamic reads the flow image at
+    integer pixels (`functional::at`). The nearest pixel of a surviving
+    track is the one its label-consistency check validated last frame, so
+    the read is guaranteed to come from the track's own region. Bilinear
+    interpolation instead smears flow across motion boundaries: a point
+    1 px inside an object silhouette blends object flow with background
+    flow, which at KITTI scale (1 px ~ 10 cm at 20 m) is a decimeter-level
+    3D bias on small/far objects — measured as the dominant fixture-sequence
+    object-motion error. Within a region the flow field is smooth, so the
+    subpixel loss is negligible."""
+    return sample_nearest(flow, uv)
 
 
 def sample_label(mask, uv):

@@ -138,6 +138,8 @@ def run_config_dataset(ds, formulation: int, mode: int, num_frames: int):
     objs = mod.get("objects", {})
     ame_t = [o["ame_trans_rmse"] for o in objs.values()]
     ame_r = [o["ame_rot_rmse"] for o in objs.values()]
+    med_t = [o.get("ame_trans_median", float("nan")) for o in objs.values()]
+    med_r = [o.get("ame_rot_median", float("nan")) for o in objs.values()]
     n = sum(o["n_frames"] for o in objs.values())
     return dict(
         ate_t=cam_stats["ate_unaligned_trans_rmse"],
@@ -145,6 +147,10 @@ def run_config_dataset(ds, formulation: int, mode: int, num_frames: int):
         rpe_t=cam_stats["rpe_trans_rmse"],
         ame_t=float(np.sqrt(np.mean(np.square(ame_t)))) if ame_t else float("nan"),
         ame_r=float(np.sqrt(np.mean(np.square(ame_r)))) if ame_r else float("nan"),
+        # median over frames, averaged over objects: the typical-frame error
+        # (RMS is dominated by information-poor re-entry/occlusion frames)
+        ame_t_med=float(np.mean(med_t)) if med_t else float("nan"),
+        ame_r_med=float(np.mean(med_r)) if med_r else float("nan"),
         n_motions=n,
     )
 
@@ -160,10 +166,15 @@ def _matrix(run_one):
             try:
                 r = run_one(form, mode)
                 rows.append((fname, mname, r))
+                med = (
+                    f" med {r['ame_t_med']*100:6.3f} cm"
+                    if "ame_t_med" in r
+                    else ""
+                )
                 print(
                     f"{fname:8s} {mname:16s} ATE {r['ate_t']*100:7.3f} cm "
-                    f"AME {r['ame_t']*100:7.3f} cm rot {r['ame_r']:.5f} rad "
-                    f"[{r['n_motions']} motions]",
+                    f"AME {r['ame_t']*100:7.3f} cm{med} rot {r['ame_r']:.5f} "
+                    f"rad [{r['n_motions']} motions]",
                     flush=True,
                 )
             except Exception as e:  # pragma: no cover
@@ -227,18 +238,24 @@ def main():
                 "Loaded through the full dyno-KITTI file path (uint16\n"
                 "disparity decode, .flo flow, txt masks) — errors include\n"
                 "disparity quantization, matching real-sensor conditions.\n"
+                "The fixture renders at 320x96 (1 px is ~4x coarser than\n"
+                "real KITTI), so per-point noise on far objects is\n"
+                "decimeter-scale; the AME RMS column is dominated by a few\n"
+                "information-poor frames (object re-entry / occlusion) while\n"
+                "the median column shows the typical-frame accuracy.\n"
                 "Evaluated via the CSV-log -> DatasetEvaluator contract.\n\n"
                 "| Formulation | Mode | camera ATE (cm) | ATE rot (rad) | "
-                "object AME (cm) | AME rot (rad) | #motions |\n"
-                "|---|---|---|---|---|---|---|\n"
+                "AME rms (cm) | AME median (cm) | AME rot (rad) | #motions |\n"
+                "|---|---|---|---|---|---|---|---|\n"
             )
             for fname, mname, r in ds_rows:
                 if r is None:
-                    f.write(f"| {fname} | {mname} | FAILED | | | | |\n")
+                    f.write(f"| {fname} | {mname} | FAILED | | | | | |\n")
                 else:
                     f.write(
                         f"| {fname} | {mname} | {r['ate_t']*100:.3f} | "
                         f"{r['ate_r']:.5f} | {r['ame_t']*100:.3f} | "
+                        f"{r['ame_t_med']*100:.3f} | "
                         f"{r['ame_r']:.5f} | {r['n_motions']} |\n"
                     )
     print(f"wrote {args.out}")

@@ -73,11 +73,15 @@ def fixture_scenario(num_frames=60, width=320, height=96):
                 motion_xi=np.array([0.0, -0.004, 0.0, 0.0, 0.0, 0.28]),
                 num_points=0,
             ),
-            # distant car drifting across the lane
+            # distant car drifting across the lane, slowly being caught up —
+            # it must HOLD range: beyond ~25 m the 320x96 fixture's
+            # quantization (1 px ~ 15 cm lateral, ~4 cm disparity steps) is
+            # decimeter-scale measurement noise and the object's GT stops
+            # being recoverable at useful accuracy
             ObjectSpec(
                 object_id=3,
                 initial_pose_xi=np.array([0.0, 0.0, 0.0, 0.5, -0.4, 20.0]),
-                motion_xi=np.array([0.0, 0.006, 0.0, -0.05, 0.0, 0.33]),
+                motion_xi=np.array([0.0, 0.006, 0.0, -0.04, 0.0, 0.21]),
                 num_points=0,
             ),
         ],

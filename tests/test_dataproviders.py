@@ -105,7 +105,7 @@ class TestKitti:
         ds = create_dataset(DatasetType.KITTI, kitti_dir)
         assert len(ds) == 3
         with pytest.raises(NotImplementedError):
-            create_dataset(DatasetType.OMD, kitti_dir)
+            create_dataset(DatasetType.CLUSTER, kitti_dir)
 
     def test_iter(self, kitti_dir):
         ds = KittiDataProvider(kitti_dir)
