@@ -40,6 +40,28 @@ from dynosam_tpu.config import BackendParams
 from dynosam_tpu.utils import lie
 
 
+def _block_selectors(offsets, D: int, dtype):
+    """(J, 6, D) constant one-hot selectors: row r of selector j picks
+    tangent index offsets[j] + r. Static offsets -> constant-folded by XLA;
+    block placement becomes MXU matmuls instead of J scattered dynamic
+    updates (whose program size would scale with J)."""
+    offsets = np.asarray(offsets)
+    J = offsets.shape[0]
+    S = np.zeros((J, 6, D), np.float32)
+    rows = np.repeat(np.arange(J), 6)
+    cols = (offsets[:, None] + np.arange(6)[None, :]).reshape(-1)
+    S[rows, np.tile(np.arange(6), J), cols] = 1.0
+    return jnp.asarray(S, dtype)
+
+
+def _place_blocks(M, g, S_row, S_col, B, gb=None):
+    """M += sum_j S_row[j]^T B[j] S_col[j]; g += sum_j S_row[j]^T gb[j]."""
+    M = M + lie.einsum("jad,jab,jbe->de", S_row, B, S_col)
+    if gb is not None:
+        g = g + lie.einsum("jad,ja->d", S_row, gb)
+    return M, g
+
+
 def _departing_information(state: GraphState, cfg: BackendParams):
     """Dense (D, D) Hessian + (D,) gradient of the departing factor set,
     with departing dynamic points m_{:,0} already Schur-eliminated and the
@@ -128,12 +150,13 @@ def _departing_information(state: GraphState, cfg: BackendParams):
     S_x0h1_obj = jax.ops.segment_sum(S_x0h1, seg, num_segments=J + 1)[:J]
 
     off0 = 6 * F
-    for j in range(J):
-        o = off0 + 6 * (j * F + 1)                        # H_{j,1} tangent offset
-        M = M.at[o : o + 6, o : o + 6].add(H_h1h1_obj[j])
-        g = g.at[o : o + 6].add(g_h1_obj[j])
-        M = M.at[:6, o : o + 6].add(-S_x0h1_obj[j])
-        M = M.at[o : o + 6, :6].add(-S_x0h1_obj[j].T)
+    S1 = _block_selectors(
+        [off0 + 6 * (j * F + 1) for j in range(J)], D, dtype
+    )                                                     # H_{j,1} selectors
+    M, g = _place_blocks(M, g, S1, S1, H_h1h1_obj, g_h1_obj)
+    cross = lie.einsum("jab,jbd->ad", -S_x0h1_obj, S1)    # (6, D)
+    M = M.at[:6, :].add(cross)
+    M = M.at[:, :6].add(cross.T)
 
     # ---- odometry(0, 1) ---------------------------------------------------
     if cfg.use_vo_factor:
@@ -159,15 +182,11 @@ def _departing_information(state: GraphState, cfg: BackendParams):
         w_sm = sm_mask[:, None] / sig["smooth"] ** 2      # (J, 6)
         JAw = jnp.swapaxes(J_Am, -1, -2) * w_sm[:, None, :]
         JBw = jnp.swapaxes(J_Bm, -1, -2) * w_sm[:, None, :]
-        for j in range(J):
-            oa = off0 + 6 * (j * F + 0)
-            ob = off0 + 6 * (j * F + 1)
-            M = M.at[oa : oa + 6, oa : oa + 6].add(JAw[j] @ J_Am[j])
-            M = M.at[ob : ob + 6, ob : ob + 6].add(JBw[j] @ J_Bm[j])
-            M = M.at[oa : oa + 6, ob : ob + 6].add(JAw[j] @ J_Bm[j])
-            M = M.at[ob : ob + 6, oa : oa + 6].add((JAw[j] @ J_Bm[j]).T)
-            g = g.at[oa : oa + 6].add(JAw[j] @ r_m[j])
-            g = g.at[ob : ob + 6].add(JBw[j] @ r_m[j])
+        S0 = _block_selectors([off0 + 6 * (j * F) for j in range(J)], D, dtype)
+        M, g = _place_blocks(M, g, S0, S0, lie.mm(JAw, J_Am), lie.einsum("jab,jb->ja", JAw, r_m))
+        M, g = _place_blocks(M, g, S1, S1, lie.mm(JBw, J_Bm), lie.einsum("jab,jb->ja", JBw, r_m))
+        M, _ = _place_blocks(M, g, S0, S1, lie.mm(JAw, J_Bm))
+        M, _ = _place_blocks(M, g, S1, S0, jnp.swapaxes(lie.mm(JAw, J_Bm), -1, -2))
 
     # ---- gauge prior on X_0 (active only before the first marginalisation)
     gauge_on = (~state.prior_valid).astype(dtype)
@@ -275,12 +294,16 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
     M = M.at[:6, :6].add(H_xx)
     g = g.at[:6].add(g_x)
     off0 = 6 * F
-    for j in range(J):
-        o = off0 + 6 * (j * F)
-        M = M.at[o : o + 6, o : o + 6].add(H_hh_obj[j])
-        g = g.at[o : o + 6].add(g_h_obj[j])
-        M = M.at[:6, o : o + 6].add(H_xh_obj[j])
-        M = M.at[o : o + 6, :6].add(H_xh_obj[j].T)
+    S_f = [
+        _block_selectors(
+            [off0 + 6 * (j * F + f) for j in range(J)], D, dtype
+        )
+        for f in range(3)
+    ]                                                      # slot 0/1/2 selectors
+    M, g = _place_blocks(M, g, S_f[0], S_f[0], H_hh_obj, g_h_obj)
+    cross = lie.einsum("jab,jbd->ad", H_xh_obj, S_f[0])    # (6, D)
+    M = M.at[:6, :].add(cross)
+    M = M.at[:, :6].add(cross.T)
 
     # straddling constant-motion smoothing ternary: factor at f=2 couples
     # (H_0, H_1, H_2) — the only smoothing factor referencing the departing
@@ -293,14 +316,15 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
         rA = r_sm[:, 2]                                        # (J, 6)
         Js = (J_A[:, 2], J_B[:, 2], J_C[:, 2])                 # slots 0,1,2
         Jws = tuple(jnp.swapaxes(Jk, -1, -2) * sm_w[:, None, :] for Jk in Js)
-        for j in range(J):
-            offs = [off0 + 6 * (j * F + f) for f in range(3)]
-            for a in range(3):
-                oa = offs[a]
-                g = g.at[oa : oa + 6].add(Jws[a][j] @ rA[j])
-                for b in range(3):
-                    ob = offs[b]
-                    M = M.at[oa : oa + 6, ob : ob + 6].add(Jws[a][j] @ Js[b][j])
+        for a in range(3):
+            M, g = _place_blocks(
+                M, g, S_f[a], S_f[a], lie.mm(Jws[a], Js[a]),
+                lie.einsum("jab,jb->ja", Jws[a], rA),
+            )
+            for b in range(3):
+                if a == b:
+                    continue
+                M, _ = _place_blocks(M, g, S_f[a], S_f[b], lie.mm(Jws[a], Js[b]))
 
     # odometry(0, 1)
     if cfg.use_vo_factor:
@@ -463,16 +487,13 @@ def _departing_information_wcpe(state: GraphState, cfg: BackendParams):
     g1_obj = lie.einsum("la,lj->ja", g1, onehot)
 
     off0 = 6 * F
-    for j in range(J):
-        o0 = off0 + 6 * (j * F + 0)                           # L_{j,0}
-        o1 = off0 + 6 * (j * F + 1)                           # L_{j,1}
-        # J_{L_0} = -J_{L_1}: blocks (0,0)=H, (1,1)=H, (0,1)=-H
-        M = M.at[o0 : o0 + 6, o0 : o0 + 6].add(H11_obj[j])
-        M = M.at[o1 : o1 + 6, o1 : o1 + 6].add(H11_obj[j])
-        M = M.at[o0 : o0 + 6, o1 : o1 + 6].add(-H11_obj[j])
-        M = M.at[o1 : o1 + 6, o0 : o0 + 6].add(-H11_obj[j])
-        g = g.at[o1 : o1 + 6].add(g1_obj[j])
-        g = g.at[o0 : o0 + 6].add(-g1_obj[j])
+    # J_{L_0} = -J_{L_1}: blocks (0,0)=H, (1,1)=H, (0,1)=(1,0)=-H
+    S0 = _block_selectors([off0 + 6 * (j * F) for j in range(J)], D, dtype)
+    S1 = _block_selectors([off0 + 6 * (j * F + 1) for j in range(J)], D, dtype)
+    M, g = _place_blocks(M, g, S0, S0, H11_obj, -g1_obj)
+    M, g = _place_blocks(M, g, S1, S1, H11_obj, g1_obj)
+    M, _ = _place_blocks(M, g, S0, S1, -H11_obj)
+    M, _ = _place_blocks(M, g, S1, S0, -H11_obj)
 
     if cfg.use_vo_factor:
         r_o = factors.between_residual(state.X[0], state.X[1], state.odom[1])

@@ -161,6 +161,15 @@ class DynoPipeline:
                     L_gt = np.asarray(gt.object_poses[int(hit[0])])
             self.logger.log_object_motion(fid, oid, out.object_motions[j], H_gt)
             self.logger.log_object_pose(fid, oid, out.object_poses[j], L_gt)
+            # 3D bbox of this object's landmarks in the OBJECT frame
+            # (Logger.cc:365 logObjectBbxes)
+            sel = out.dynamic_valid & (out.dynamic_object_ids == oid)
+            if sel.any():
+                L = out.object_poses[j]
+                pts_local = (out.dynamic_landmarks[sel] - L[:3, 3]) @ L[:3, :3]
+                self.logger.log_object_bbx(
+                    fid, oid, pts_local.min(axis=0), pts_local.max(axis=0), L
+                )
         valid = out.dynamic_valid
         if valid.any():
             self.logger.log_map_points(

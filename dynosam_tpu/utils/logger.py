@@ -55,6 +55,13 @@ class EstimationModuleLogger:
             "map_points",
             ["frame_id", "object_id", "tracklet_id", "x_world", "y_world", "z_world"],
         )
+        # reference: Logger.cc:165-167 object_bbx_log schema
+        self._open(
+            "object_bbx",
+            ["frame_id", "object_id", "min_bbx_x", "min_bbx_y", "min_bbx_z",
+             "max_bbx_x", "max_bbx_y", "max_bbx_z",
+             "px", "py", "pz", "qw", "qx", "qy", "qz"],
+        )
 
     def _open(self, kind: str, header):
         fname = os.path.join(self.path, f"{self.module}_{kind}_log.csv")
@@ -79,6 +86,19 @@ class EstimationModuleLogger:
         gt = _pose_to_row(H_gt) if H_gt is not None else [""] * 7
         self._writers["object_motion"].writerow(
             [frame_id, object_id] + _pose_to_row(H) + gt
+        )
+
+    def log_object_bbx(self, frame_id: int, object_id: int, min_xyz, max_xyz, L):
+        """3D bounding box of an object's landmarks + the object pose
+        (reference: EstimationModuleLogger::logObjectBbxes, Logger.cc:365)."""
+        row = _pose_to_row(L)
+        # reference column order: px py pz qw qx qy qz
+        pose_cols = [row[0], row[1], row[2], row[6], row[3], row[4], row[5]]
+        self._writers["object_bbx"].writerow(
+            [frame_id, object_id]
+            + [float(v) for v in np.asarray(min_xyz)]
+            + [float(v) for v in np.asarray(max_xyz)]
+            + pose_cols
         )
 
     def log_map_points(self, frame_id: int, object_ids, tracklet_ids, points):

@@ -13,6 +13,8 @@ import pytest
 from dynosam_tpu.nn import postprocess as pp
 from dynosam_tpu.nn import yolov8
 
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
+
 H, W = 96, 160  # tiny input (divisible by 32)
 
 

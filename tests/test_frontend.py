@@ -11,6 +11,8 @@ from dynosam_tpu.dataproviders.synthetic_dense import default_dense_scenario
 from dynosam_tpu.frontend.frontend import empty_frontend_state, frontend_step
 from dynosam_tpu.utils import lie
 
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
+
 
 @pytest.fixture(scope="module")
 def dense():

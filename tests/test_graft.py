@@ -2,8 +2,11 @@
 
 import jax
 import numpy as np
+import pytest
 
 import __graft_entry__ as ge
+
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
 
 
 def test_entry_compiles_and_runs():

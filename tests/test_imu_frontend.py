@@ -10,6 +10,7 @@ Reference behaviours covered:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dynosam_tpu.config import (
     FrontendParams,
@@ -25,6 +26,8 @@ from dynosam_tpu.frontend import motion
 from dynosam_tpu.frontend.frontend import empty_frontend_state, frontend_step
 from dynosam_tpu.frontend.types import FrameInputs
 from dynosam_tpu.utils import lie
+
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
 
 GRAVITY = (0.0, 9.81, 0.0)
 

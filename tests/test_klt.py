@@ -24,6 +24,8 @@ from dynosam_tpu.ops import lk
 from dynosam_tpu.ops.clahe import clahe
 from dynosam_tpu.utils import lie
 
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
+
 
 def _texture(H, W, seed=0):
     rng = np.random.default_rng(seed)

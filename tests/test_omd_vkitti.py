@@ -13,6 +13,8 @@ from dynosam_tpu.dataproviders.fixture_writers import (
 from dynosam_tpu.dataproviders.synthetic_dense import default_dense_scenario
 from dynosam_tpu.dataproviders.vkitti import decode_vkitti_flow
 
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
+
 
 @pytest.fixture(scope="module")
 def dense():

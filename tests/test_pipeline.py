@@ -19,6 +19,8 @@ from dynosam_tpu.eval import metrics
 from dynosam_tpu.pipeline.pipeline import DynoPipeline
 from dynosam_tpu.utils.stats import Statistics
 
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
+
 
 @pytest.fixture(scope="module")
 def result(tmp_path_factory):

@@ -10,6 +10,8 @@ from dynosam_tpu.config import BackendParams, NoiseParams
 from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
 from dynosam_tpu.utils import lie
 
+pytestmark = pytest.mark.slow  # heavy jit-compile e2e tier
+
 MAX_OBJ = 4
 
 
