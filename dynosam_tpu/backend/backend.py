@@ -69,7 +69,9 @@ class RegularBackend:
             mode_cfg = dataclasses.replace(
                 cfg,
                 optimizer=dataclasses.replace(
-                    cfg.optimizer, max_iterations=3, accept_reject=True
+                    cfg.optimizer,
+                    max_iterations=cfg.optimizer.incremental_iterations,
+                    accept_reject=True,
                 ),
             )
         self._opt_cfg = mode_cfg

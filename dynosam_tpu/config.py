@@ -154,6 +154,10 @@ class NoiseParams:
 @dataclass
 class OptimizerParams:
     max_iterations: int = 15
+    # iteration budget for incremental mode's warm-started solve (the
+    # iSAM2-role update); separate from max_iterations because the warm
+    # start leaves little residual work per frame
+    incremental_iterations: int = 3
     # LM accept/reject needs a full robust-cost evaluation per iteration;
     # incremental (warm-started) mode disables it and runs plain damped GN,
     # mirroring iSAM2's non-backtracking updates.

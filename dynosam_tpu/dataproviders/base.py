@@ -66,7 +66,24 @@ def create_dataset(dataset_type: int, path: str, **kwargs):
         from dynosam_tpu.dataproviders.omd import OmdDataProvider
 
         return OmdDataProvider(path, **kwargs)
+    if t == DatasetType.CLUSTER:
+        from dynosam_tpu.dataproviders.clusterslam import (
+            ClusterSlamDataProvider,
+        )
+
+        return ClusterSlamDataProvider(path, **kwargs)
+    if t == DatasetType.TARTAN_AIR_SHIBUYA:
+        from dynosam_tpu.dataproviders.tartanair import (
+            TartanAirShibuyaDataProvider,
+        )
+
+        return TartanAirShibuyaDataProvider(path, **kwargs)
+    if t == DatasetType.VIODE:
+        from dynosam_tpu.dataproviders.viode import ViodeDataProvider
+
+        return ViodeDataProvider(path, **kwargs)
     raise NotImplementedError(
         f"Dataset type {t.name} is not implemented yet in dynosam_tpu "
-        "(KITTI / VIRTUAL_KITTI / OMD / SYNTHETIC available)."
+        "(KITTI / VIRTUAL_KITTI / CLUSTER / OMD / TARTAN_AIR_SHIBUYA / "
+        "VIODE / SYNTHETIC available)."
     )

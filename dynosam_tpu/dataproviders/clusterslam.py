@@ -1,0 +1,345 @@
+"""ClusterSlam (CARLA) loader — stereo with cluster-labelled landmark GT.
+
+Reference parity: /root/reference/dynosam/src/dataprovider/
+ClusterSlamDataProvider.cc (841 LoC). On-disk layout:
+
+  images/left/*.png  images/right/*.png
+  optical_flow/*.flo        flow k -> k+1 at index k; flow-file count defines
+                            the dataset size (= images - 1, :104-108). Served
+                            shifted: frame k carries the (k-1 -> k) flow.
+  instance_masks/*          detection masks whose labels do NOT match the GT
+                            cluster ids — relabelled per frame by assigning
+                            mask objects to landmark clusters with a
+                            keypoints-in-bounding-box vote solved as a
+                            linear assignment (:447-556)
+  landmarks/left/%04d.txt   lines `landmark_id u v` per frame (:359-404)
+  landmark_mapping.txt      lines `landmark_id cluster_id`; cluster 0 is the
+                            camera trajectory => object ids start at 1
+                            (:409-436)
+  pose/%04d.txt             line 0 = camera pose, line i>0 = cluster i pose;
+                            format `x y z qw qx qy qz` (the dataset docs say
+                            qx qy qz qw but the reference corrects this,
+                            :684-690). Camera poses aligned to the first
+                            frame; object rotations go through the fixed
+                            carla->opencv rotation and are re-anchored via
+                            the per-frame camera pose (:644-663)
+  intrinsic.txt             two 3x4 projection matrices (left then right)
+                            separated by a blank line; baseline from
+                            K^-1 @ P of the right camera (:212-290)
+
+Depth is dense stereo (SGBM in the reference, :340-352) — here the jitted
+TPU block-matching volume (`cv.stereo.dense_stereo_depth`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.dataproviders.kitti import read_flo
+from dynosam_tpu.frontend.types import FrameInputs, GroundTruthFrame
+
+# object rotations: carla -> opencv (ClusterSlamDataProvider.cc:644-647)
+R_CARLA_CV_OBJ = np.array([[1.0, 0, 0], [0, 0, 1.0], [0, -1.0, 0]])
+
+
+def _quat_wxyz_to_R(qw, qx, qy, qz) -> np.ndarray:
+    q = np.array([qw, qx, qy, qz], np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def relabel_mask_by_landmarks(
+    mask: np.ndarray,
+    keypoints: Dict[int, np.ndarray],
+) -> np.ndarray:
+    """Relabel detection-mask objects to GT cluster ids.
+
+    `keypoints` maps cluster_id -> (N, 2) [u, v]. Each mask object votes for
+    the cluster with the most keypoints inside its bounding box; the global
+    assignment is solved as a maximum linear-sum assignment
+    (associateDetectedBBWithObject, ClusterSlamDataProvider.cc:447-556;
+    Hungarian solve over inverse counts). Unassigned objects are zeroed."""
+    out = np.zeros_like(mask)
+    obj_ids = [int(v) for v in np.unique(mask) if v != 0]
+    cluster_ids = sorted(keypoints)
+    if not obj_ids or not cluster_ids:
+        return out
+    counts = np.zeros((len(obj_ids), len(cluster_ids)))
+    for i, oid in enumerate(obj_ids):
+        ys, xs = np.nonzero(mask == oid)
+        x0, x1, y0, y1 = xs.min(), xs.max(), ys.min(), ys.max()
+        for j, cid in enumerate(cluster_ids):
+            kp = keypoints[cid]
+            inside = (
+                (kp[:, 0] >= x0)
+                & (kp[:, 0] <= x1)
+                & (kp[:, 1] >= y0)
+                & (kp[:, 1] <= y1)
+            )
+            counts[i, j] = inside.sum()
+    from scipy.optimize import linear_sum_assignment
+
+    rows, cols = linear_sum_assignment(-counts)
+    for i, j in zip(rows, cols):
+        if counts[i, j] > 0:
+            out[mask == obj_ids[i]] = cluster_ids[j]
+    return out
+
+
+class ClusterSlamDataProvider:
+    def __init__(
+        self,
+        path: str,
+        max_objects: int = 16,
+        pad_to_multiple: int = 0,
+        num_disparities: int = 128,
+        stereo_block_size: int = 5,
+    ):
+        self.path = path
+        self.max_objects = max_objects
+        self.pad_to_multiple = pad_to_multiple
+        self.num_disparities = num_disparities
+        self.stereo_block_size = stereo_block_size
+
+        def listing(sub):
+            d = os.path.join(path, sub)
+            return [os.path.join(d, f) for f in sorted(os.listdir(d))]
+
+        self._left = listing("images/left")
+        self._right = listing("images/right")
+        self._flow = listing("optical_flow")
+        self._masks = listing("instance_masks")
+        # flow count defines the dataset size (= images - 1)
+        self._n = len(self._flow)
+        if self._n == 0:
+            raise FileNotFoundError(f"no flow files under {path}/optical_flow")
+
+        self._landmarks = self._load_landmarks(listing("landmarks/left"))
+        self._mapping = self._load_mapping(
+            os.path.join(path, "landmark_mapping.txt")
+        )
+        self._load_intrinsics(os.path.join(path, "intrinsic.txt"))
+        self._load_poses(listing("pose"))
+
+        import cv2
+
+        first = cv2.imread(self._left[0])
+        self._h, self._w = first.shape[:2]
+        self._intr = cam.CameraIntrinsics.create(
+            fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy,
+            width=self._padded(self._w), height=self._padded(self._h),
+            baseline=self.baseline,
+        )
+        self._depth_fn = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _load_landmarks(files: List[str]) -> Dict[int, Dict[int, np.ndarray]]:
+        """frame -> {landmark_id -> (u, v)}; frame id from the file stem."""
+        out: Dict[int, Dict[int, np.ndarray]] = {}
+        for fname in files:
+            frame = int(os.path.splitext(os.path.basename(fname))[0])
+            per: Dict[int, np.ndarray] = {}
+            with open(fname) as f:
+                for line in f:
+                    vals = line.split()
+                    if len(vals) != 3:
+                        continue
+                    per[int(vals[0])] = np.array(
+                        [float(vals[1]), float(vals[2])]
+                    )
+            out[frame] = per
+        return out
+
+    @staticmethod
+    def _load_mapping(fname: str) -> Dict[int, int]:
+        out: Dict[int, int] = {}
+        with open(fname) as f:
+            for line in f:
+                vals = line.split()
+                if len(vals) == 2:
+                    out[int(vals[0])] = int(vals[1])
+        return out
+
+    def _load_intrinsics(self, fname: str) -> None:
+        with open(fname) as f:
+            rows = [
+                [float(v) for v in line.split()]
+                for line in f
+                if line.split()
+            ]
+        P1 = np.asarray(rows[0:3])
+        P2 = np.asarray(rows[3:6])
+        K1 = P1[:, :3]
+        self.fx, self.fy = float(K1[0, 0]), float(K1[1, 1])
+        self.cx, self.cy = float(K1[0, 2]), float(K1[1, 2])
+        # extrinsics_right = inv(K2^-1 @ P2); baseline = |t_x|
+        # (ClusterSlamDataProvider.cc:275-290)
+        E2 = np.eye(4)
+        E2[:3, :] = np.linalg.inv(P2[:, :3]) @ P2
+        t = np.linalg.inv(E2)[:3, 3]
+        self.baseline = float(abs(t[0])) or 0.5
+
+    def _load_poses(self, files: List[str]) -> None:
+        """pose/%04d.txt: camera pose (line 0) + cluster poses (lines 1..)."""
+        self._cam_poses: Dict[int, np.ndarray] = {}
+        self._obj_poses: Dict[int, Dict[int, np.ndarray]] = {}
+        initial_inv = None
+        for fname in sorted(files):
+            frame = int(os.path.splitext(os.path.basename(fname))[0])
+            with open(fname) as f:
+                lines = [
+                    [float(v) for v in line.split()]
+                    for line in f
+                    if line.split()
+                ]
+            poses = []
+            for vals in lines:
+                T = np.eye(4)
+                T[:3, :3] = _quat_wxyz_to_R(*vals[3:7])
+                T[:3, 3] = vals[0:3]
+                poses.append(T)
+            original_cam = poses[0]
+            if initial_inv is None:
+                initial_inv = np.linalg.inv(original_cam)
+            aligned_cam = initial_inv @ original_cam
+            self._cam_poses[frame] = aligned_cam
+            objs: Dict[int, np.ndarray] = {}
+            for i, T in enumerate(poses[1:], start=1):
+                obj = T.copy()
+                obj[:3, :3] = R_CARLA_CV_OBJ @ T[:3, :3]
+                rel = np.linalg.inv(original_cam) @ obj
+                objs[i] = aligned_cam @ rel
+            self._obj_poses[frame] = objs
+
+    def _padded(self, x: int) -> int:
+        m = self.pad_to_multiple
+        return x if m <= 0 else ((x + m - 1) // m) * m
+
+    def _pad(self, img: np.ndarray, value=0.0) -> np.ndarray:
+        H, W = self._padded(self._h), self._padded(self._w)
+        if img.shape[0] == H and img.shape[1] == W:
+            return img
+        pad = [(0, H - img.shape[0]), (0, W - img.shape[1])] + [(0, 0)] * (
+            img.ndim - 2
+        )
+        return np.pad(img, pad, constant_values=value)
+
+    def _cluster_keypoints(self, k: int) -> Dict[int, np.ndarray]:
+        """cluster_id -> (N, 2) keypoints at frame k (ids > 0 only)."""
+        per = self._landmarks.get(k, {})
+        out: Dict[int, List[np.ndarray]] = {}
+        for lid, uv in per.items():
+            cid = self._mapping.get(lid, 0)
+            if cid > 0:
+                out.setdefault(cid, []).append(uv)
+        return {cid: np.stack(v) for cid, v in out.items()}
+
+    def _dense_depth(self, left_gray, right_gray):
+        if self._depth_fn is None:
+            import functools
+
+            import jax
+
+            from dynosam_tpu.cv.stereo import dense_stereo_depth
+
+            self._depth_fn = jax.jit(
+                functools.partial(
+                    dense_stereo_depth,
+                    fx=self.fx,
+                    baseline=self.baseline,
+                    num_disparities=self.num_disparities,
+                    block_size=self.stereo_block_size,
+                )
+            )
+        return np.asarray(self._depth_fn(left_gray, right_gray))
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return self._n
+
+    def intrinsics(self) -> cam.CameraIntrinsics:
+        return self._intr
+
+    def frame(self, k: int) -> FrameInputs:
+        import cv2
+
+        left = cv2.imread(self._left[k], cv2.IMREAD_UNCHANGED)
+        right = cv2.imread(self._right[k], cv2.IMREAD_UNCHANGED)
+        def to_gray(im):
+            if im.ndim == 2:
+                return im.astype(np.float32) / 255.0
+            code = (
+                cv2.COLOR_BGRA2GRAY if im.shape[2] == 4 else cv2.COLOR_BGR2GRAY
+            )
+            return cv2.cvtColor(im, code).astype(np.float32) / 255.0
+
+        if left.ndim == 2:
+            rgb = np.repeat(left[..., None], 3, axis=-1)
+        elif left.shape[2] == 4:
+            rgb = cv2.cvtColor(left, cv2.COLOR_BGRA2RGB)
+        else:
+            rgb = cv2.cvtColor(left, cv2.COLOR_BGR2RGB)
+        rgb = rgb.astype(np.float32) / 255.0
+        depth = self._dense_depth(to_gray(left), to_gray(right))
+
+        mask_raw = cv2.imread(self._masks[k], cv2.IMREAD_UNCHANGED)
+        if mask_raw.ndim == 3:
+            mask_raw = mask_raw[..., 0]
+        mask = relabel_mask_by_landmarks(
+            mask_raw.astype(np.int32), self._cluster_keypoints(k)
+        )
+
+        if k > 0:
+            flow = read_flo(self._flow[k - 1])
+        else:
+            flow = np.zeros((self._h, self._w, 2), np.float32)
+
+        return FrameInputs(
+            frame_id=jnp.array(k, jnp.int32),
+            rgb=jnp.asarray(self._pad(rgb)),
+            depth=jnp.asarray(self._pad(depth)),
+            flow=jnp.asarray(self._pad(flow)),
+            mask=jnp.asarray(self._pad(mask)),
+        )
+
+    def ground_truth(self, k: int) -> Optional[GroundTruthFrame]:
+        if k not in self._cam_poses:
+            return None
+        X = self._cam_poses[k]
+        J = self.max_objects
+        ids = np.full((J,), -1, np.int32)
+        poses = np.tile(np.eye(4), (J, 1, 1))
+        motions = np.tile(np.eye(4), (J, 1, 1))
+        valid = np.zeros((J,), bool)
+        objs = self._obj_poses.get(k, {})
+        prev = self._obj_poses.get(k - 1, {})
+        for j, (oid, L_w) in enumerate(sorted(objs.items())[:J]):
+            ids[j] = oid
+            poses[j] = L_w
+            valid[j] = True
+            if oid in prev and k > 0:
+                motions[j] = L_w @ np.linalg.inv(prev[oid])
+        return GroundTruthFrame(
+            X_world_cam=jnp.asarray(X, jnp.float32),
+            object_ids=jnp.asarray(ids),
+            object_poses=jnp.asarray(poses, jnp.float32),
+            object_motions=jnp.asarray(motions, jnp.float32),
+            object_valid=jnp.asarray(valid),
+        )
+
+    def __iter__(self):
+        for k in range(len(self)):
+            yield self.frame(k), self.ground_truth(k)

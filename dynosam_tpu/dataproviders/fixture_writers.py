@@ -236,3 +236,303 @@ def write_vkitti_sequence(
         f.write("\n".join(pose_lines) + "\n")
     with open(os.path.join(textgt, "bbox.txt"), "w") as f:
         f.write("\n".join(bbox_lines) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# TartanAir-Shibuya / VIODE / ClusterSlam
+# ---------------------------------------------------------------------------
+
+def _R_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
+    """(3,3) -> (qw, qx, qy, qz), standard Shepperd extraction."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array(
+            [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+        )
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def write_tartanair_sequence(
+    dense, out_dir: str, timestep: float = 0.1, depth_scale: float = 256.0
+) -> None:
+    """DenseScenario -> TartanAir-Shibuya layout (see tartanair.py docs).
+
+    gt_pose.txt stores world_R_cam in NED (provider re-applies R_NED_CV) and
+    an arbitrary global offset (provider re-aligns to the first pose)."""
+    import cv2
+
+    from dynosam_tpu.dataproviders.tartanair import R_NED_CV
+
+    for sub in ("image_0", "depth_0", "flow_0", "mask_0"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    scn = dense.scn
+    n = scn.spec.num_frames
+    X_gt = [np.asarray(x, np.float64) for x in scn.X_gt]
+    frames = [dense.frame(k) for k in range(n)]
+
+    with open(os.path.join(out_dir, "times.txt"), "w") as f:
+        for k in range(n):
+            f.write(f"{k * timestep:.6f}\n")
+
+    # arbitrary global offset exercises the first-pose alignment
+    T_off = np.eye(4)
+    T_off[:3, 3] = (3.0, -1.0, 2.0)
+    with open(os.path.join(out_dir, "gt_pose.txt"), "w") as f:
+        for k in range(n):
+            T = T_off @ X_gt[k]
+            q = _R_to_quat_wxyz(T[:3, :3] @ R_NED_CV.T)
+            t = T[:3, 3]
+            f.write(
+                f"{k * timestep:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n"
+            )
+
+    for k in range(n):
+        inp = frames[k]
+        name = f"{k:06d}"
+        rgb = np.asarray(inp.rgb)
+        cv2.imwrite(
+            os.path.join(out_dir, "image_0", name + ".png"),
+            cv2.cvtColor((rgb * 255.0).astype(np.uint8), cv2.COLOR_RGB2BGR),
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "depth_0", name + ".png"),
+            np.clip(
+                np.round(np.asarray(inp.depth, np.float64) * depth_scale),
+                0, 65535,
+            ).astype(np.uint16),
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "mask_0", name + ".png"),
+            np.asarray(inp.mask, np.int32).astype(np.uint8),
+        )
+        if k + 1 < n:
+            write_flo(
+                os.path.join(out_dir, "flow_0", name + ".flo"),
+                np.asarray(frames[k + 1].flow),
+            )
+
+
+def _synth_right_image(gray: np.ndarray, depth: np.ndarray,
+                       fx: float, baseline: float) -> np.ndarray:
+    """Approximate rectified right view: R(x) = L(x + d(x)) with the left
+    disparity as a proxy for the right-frame disparity (exact for
+    fronto-parallel patches; fixture tolerance absorbs the rest)."""
+    h, w = gray.shape
+    d = fx * baseline / np.maximum(depth, 1e-6)
+    xs = np.arange(w)[None, :] + d
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    a = np.clip(xs - x0, 0.0, 1.0)
+    rows = np.arange(h)[:, None]
+    return (1 - a) * gray[rows, x0] + a * gray[rows, x1]
+
+
+def write_viode_sequence(
+    dense, out_dir: str, timestep: float = 0.1, baseline: float = 0.5
+) -> None:
+    """DenseScenario -> VIODE layout (see viode.py docs). Writes stereo pairs
+    (right synthesized from left + GT depth), ns-stamped flow/mask/image
+    files, odometry_odom.csv in the NED body convention, imu0_imu.csv.
+
+    `baseline` is deliberately larger than VIODE's real 0.05 m so the
+    fixture's low-resolution renders still carry multi-pixel disparities;
+    pass the same value to the provider under test."""
+    import cv2
+
+    from dynosam_tpu.dataproviders.tartanair import R_NED_CV
+
+    for sub in ("cam0/image_raw", "cam1/image_raw", "cam0/flow_0",
+                "cam0/mask_0"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    scn = dense.scn
+    intr = dense.intr
+    n = scn.spec.num_frames
+    fx = float(intr.fx)
+    X_gt = [np.asarray(x, np.float64) for x in scn.X_gt]
+    frames = [dense.frame(k) for k in range(n)]
+
+    with open(os.path.join(out_dir, "odometry_odom.csv"), "w") as f:
+        f.write("t tx ty tz qx qy qz qw\n")
+        for k in range(n):
+            T = X_gt[k]
+            q = _R_to_quat_wxyz(T[:3, :3] @ R_NED_CV.T)
+            t = T[:3, 3]
+            f.write(
+                f"{k * timestep:.9f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n"
+            )
+
+    # IMU: exact samples from the piecewise-constant-twist GT where the
+    # simulator provides them, zeros otherwise (rows: t ax ay az wx wy wz)
+    with open(os.path.join(out_dir, "imu0_imu.csv"), "w") as f:
+        f.write("t ax ay az wx wy wz\n")
+        if hasattr(scn, "imu_window"):
+            for k in range(1, n):
+                samples, valid = scn.imu_window(k, n_samples=32)
+                s = np.asarray(samples, np.float64)
+                t0 = (k - 1) * timestep
+                ts = t0 + np.cumsum(s[:, 0]) - s[:, 0]
+                for i in range(s.shape[0]):
+                    if valid[i]:
+                        f.write(
+                            f"{ts[i]:.9f} "
+                            + " ".join(f"{v:.9f}" for v in s[i, 1:7])
+                            + "\n"
+                        )
+
+    for k in range(n):
+        inp = frames[k]
+        stem = str(int(round(k * timestep * 1e9)))
+        rgb = np.asarray(inp.rgb)
+        bgr = cv2.cvtColor((rgb * 255.0).astype(np.uint8), cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(out_dir, "cam0/image_raw", stem + ".png"), bgr)
+        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float64)
+        right = _synth_right_image(
+            gray, np.asarray(inp.depth, np.float64), fx, baseline
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "cam1/image_raw", stem + ".png"),
+            np.clip(right, 0, 255).astype(np.uint8),
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "cam0/mask_0", stem + ".png"),
+            np.asarray(inp.mask, np.int32).astype(np.uint8),
+        )
+        write_flo(
+            os.path.join(out_dir, "cam0/flow_0", stem + ".flo"),
+            np.asarray(frames[k + 1].flow) if k + 1 < n
+            else np.zeros_like(np.asarray(inp.flow)),
+        )
+
+
+def write_clusterslam_sequence(
+    dense, out_dir: str, landmarks_per_object: int = 12,
+    baseline: float = 2.0,
+) -> None:
+    """DenseScenario -> ClusterSlam layout (see clusterslam.py docs).
+
+    instance_masks get deliberately scrambled labels (3 * id + 5) so the
+    loader's landmark-vote relabelling is actually exercised; landmarks are
+    mask-interior pixels assigned per-cluster ids via landmark_mapping.txt."""
+    import cv2
+
+    from dynosam_tpu.dataproviders.clusterslam import R_CARLA_CV_OBJ
+
+    for sub in ("images/left", "images/right", "optical_flow",
+                "instance_masks", "landmarks/left", "pose"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    scn = dense.scn
+    intr = dense.intr
+    n = scn.spec.num_frames
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    X_gt = [np.asarray(x, np.float64) for x in scn.X_gt]
+    frames = [dense.frame(k) for k in range(n)]
+
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    P1 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = K @ np.hstack([np.eye(3), np.array([[-baseline], [0.0], [0.0]])])
+    with open(os.path.join(out_dir, "intrinsic.txt"), "w") as f:
+        for row in P1:
+            f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+        f.write("\n")
+        for row in P2:
+            f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
+    mapping_lines = []
+    next_lid = 0
+    cluster_lids: dict = {}
+
+    for k in range(n):
+        inp = frames[k]
+        name = f"{k:04d}"
+        rgb = np.asarray(inp.rgb)
+        bgr = cv2.cvtColor((rgb * 255.0).astype(np.uint8), cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(out_dir, "images/left", name + ".png"), bgr)
+        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float64)
+        right = _synth_right_image(
+            gray, np.asarray(inp.depth, np.float64), fx, baseline
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "images/right", name + ".png"),
+            np.clip(right, 0, 255).astype(np.uint8),
+        )
+        mask = np.asarray(inp.mask, np.int32)
+        scrambled = np.where(mask > 0, 3 * mask + 5, 0)
+        cv2.imwrite(
+            os.path.join(out_dir, "instance_masks", name + ".png"),
+            scrambled.astype(np.uint8),
+        )
+        if k + 1 < n:
+            write_flo(
+                os.path.join(out_dir, "optical_flow", name + ".flo"),
+                np.asarray(frames[k + 1].flow),
+            )
+
+        # landmarks: interior pixels of each object; stable per-cluster ids
+        lm_lines = []
+        rng = np.random.default_rng(1000 + k)
+        for oid in scn.object_ids:
+            ys, xs = np.nonzero(mask == oid)
+            if len(ys) == 0:
+                continue
+            if oid not in cluster_lids:
+                cluster_lids[oid] = list(
+                    range(next_lid, next_lid + landmarks_per_object)
+                )
+                next_lid += landmarks_per_object
+                for lid in cluster_lids[oid]:
+                    mapping_lines.append(f"{lid} {oid}")
+            sel = rng.choice(len(ys), min(landmarks_per_object, len(ys)),
+                             replace=False)
+            for lid, i in zip(cluster_lids[oid], sel):
+                lm_lines.append(f"{lid} {xs[i]:.1f} {ys[i]:.1f}")
+        with open(
+            os.path.join(out_dir, "landmarks/left", name + ".txt"), "w"
+        ) as f:
+            f.write("\n".join(lm_lines) + ("\n" if lm_lines else ""))
+
+        # pose file: camera first, then one line per cluster id (sorted)
+        lines = []
+        T = X_gt[k]
+        q = _R_to_quat_wxyz(T[:3, :3])
+        t = T[:3, 3]
+        lines.append(
+            f"{t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+            f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}"
+        )
+        # cluster line index i corresponds to object id i: pad gaps with the
+        # identity for ids never present in this scene
+        max_oid = max(scn.object_ids)
+        for oid in range(1, max_oid + 1):
+            if oid in scn.object_ids:
+                j = list(scn.object_ids).index(oid)
+                L_w = np.asarray(scn.L_gt[j][k], np.float64)
+                R_file = R_CARLA_CV_OBJ.T @ L_w[:3, :3]
+                tt = L_w[:3, 3]
+            else:
+                R_file, tt = np.eye(3), np.zeros(3)
+            q = _R_to_quat_wxyz(R_file)
+            lines.append(
+                f"{tt[0]:.9f} {tt[1]:.9f} {tt[2]:.9f} "
+                f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}"
+            )
+        with open(os.path.join(out_dir, "pose", name + ".txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    with open(os.path.join(out_dir, "landmark_mapping.txt"), "w") as f:
+        f.write("\n".join(mapping_lines) + "\n")
