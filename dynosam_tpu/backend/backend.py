@@ -79,7 +79,7 @@ class RegularBackend:
         # Formulation dispatch (backend_updater_enum, RegularBackendModule
         # parity): 0 = WCME (MotionInWorld), 3 = hybrid (object-centric
         # keyframed — the reference's ParallelHybrid, objects batched).
-        self.hybrid = cfg.backend_updater_enum == 3
+        self.hybrid = cfg.backend_updater_enum in (2, 3)
         self.wcpe = cfg.backend_updater_enum == 1
         if self.hybrid:
             update_fn = graph.update_from_packet_hybrid
@@ -129,6 +129,26 @@ class RegularBackend:
     def finish(self) -> None:
         """Full-batch final solve (reference: updateBatch at last frame)."""
         self.state = self._jit_optimize(self.state)
+
+    def marginal_covariances(self):
+        """(cov_X (F, 6, 6), cov_H (J, F, 6, 6)) marginals at the current
+        estimate — the gtsam::Marginals role (the reference computes the
+        camera-pose covariance in the static estimator and per-object
+        covariances in each ParallelObjectISAM; here one dense inverse of
+        the reduced system gives the exact joint marginals). Hybrid
+        formulations only. Computed on demand: it is not part of the
+        per-frame step."""
+        if not self.hybrid:
+            raise NotImplementedError(
+                "marginal covariances are exported for the hybrid "
+                "formulations (backend_updater_enum 2/3)"
+            )
+        if not hasattr(self, "_jit_marginals"):
+            self._jit_marginals = jax.jit(
+                lambda st: hybrid.marginal_covariances(st, self._opt_cfg)
+            )
+        cov_X, cov_H = self._jit_marginals(self.state)
+        return np.asarray(cov_X), np.asarray(cov_H)
 
     # ------------------------------------------------------------------
     def _device_outputs(self, st):

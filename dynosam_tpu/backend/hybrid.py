@@ -206,7 +206,14 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 # Linearisation
 # ---------------------------------------------------------------------------
 
-def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
+def linearize(
+    state: GraphState, cfg: BackendParams, lam, dynamic_scale: float = 1.0
+) -> _HybridLin:
+    """Build the reduced (camera + motion) normal equations.
+
+    `dynamic_scale` scales every dynamic-observation and smoothing weight;
+    0.0 gives the static-only system used by the decoupled (ParallelHybrid)
+    camera phase."""
     F, J, Ls, Ld = state.F, state.J, state.Ls, state.Ld
     D = state.D
     dtype = state.X.dtype
@@ -257,6 +264,7 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
     iw_h = mask.astype(dtype)[..., None] * _irls_w(e_h, k_rob, use_rob)[
         ..., None
     ] / (state.d_sig ** 2)                                   # (Ld, F, 3)
+    iw_h = iw_h * dynamic_scale
 
     hat_yh = lie.hat(y_h)
     Jx = jnp.concatenate(
@@ -326,9 +334,9 @@ def linearize(state: GraphState, cfg: BackendParams, lam) -> _HybridLin:
 
     # ================= smoothing ternary (per object, batched) ============
     r_sm, J_A, J_B, J_C = _smooth_triple_terms(state)        # (J,F,...)
-    w_sm = _smooth_triple_mask(state, cfg).astype(dtype)[..., None] / (
-        sig["smooth"] ** 2
-    )                                                        # (J,F,6)
+    w_sm = dynamic_scale * _smooth_triple_mask(state, cfg).astype(dtype)[
+        ..., None
+    ] / (sig["smooth"] ** 2)                                 # (J,F,6)
     # pairwise weighted products
     JAw = jnp.swapaxes(J_A, -1, -2) * w_sm[..., None, :]
     JBw = jnp.swapaxes(J_B, -1, -2) * w_sm[..., None, :]
@@ -443,8 +451,84 @@ def _clip_step(dx, max_step):
     return (blocks * scale).reshape(-1)
 
 
+def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
+    """ParallelHybridBackendModule solve order: the camera/static scene first
+    (its own fixed-lag solve, no dynamic factors), then every object with the
+    camera FROZEN (reference ParallelHybridBackendModule.cc:440-560: the
+    static estimator produces a Pose3Measurement consumed by each per-object
+    iSAM2). Decoupling is a robustness feature — one degenerate object cannot
+    perturb the camera/static solve. With the camera frozen the motion block
+    is exactly per-object block-diagonal (objects only couple through X), so
+    the batched solve IS the reference's tbb::parallel_for_each.
+    """
+    op = cfg.optimizer
+    n = 6 * state.F
+    D = state.D
+    lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+
+    def chol_solve(S, g):
+        L = jnp.linalg.cholesky(S)
+        z = jax.scipy.linalg.solve_triangular(L, g, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    def cam_step(st, _):
+        lin = linearize(st, cfg, lam, dynamic_scale=0.0)
+        dx_x = chol_solve(lin.S[:n, :n], lin.rhs[:n])
+        dx = jnp.concatenate(
+            [_clip_step(dx_x, op.gn_max_step), jnp.zeros(D - n, dx_x.dtype)]
+        )
+        cand = _apply_update(st, lin, dx)
+        ok = jnp.isfinite(cand.X).all()
+        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st), None
+
+    def obj_step(st, _):
+        lin = linearize(st, cfg, lam)
+        dh = chol_solve(lin.S[n:, n:], lin.rhs[n:])
+        dx = jnp.concatenate(
+            [jnp.zeros(n, dh.dtype), _clip_step(dh, op.gn_max_step)]
+        )
+        cand = _apply_update(st, lin, dx)
+        ok = jnp.isfinite(cand.H).all()
+        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st), None
+
+    state, _ = jax.lax.scan(cam_step, state, None, length=op.max_iterations)
+    state, _ = jax.lax.scan(obj_step, state, None, length=op.max_iterations)
+    return state
+
+
+def marginal_covariances(state: GraphState, cfg: BackendParams):
+    """Marginal covariance blocks at the current estimate.
+
+    The gtsam::Marginals role (reference ParallelHybridBackendModule.cc:
+    479-487 camera-pose covariance; ParallelObjectISAM.hpp:49-120 per-object
+    covariances, the backend->frontend feedback contract). One dense inverse
+    of the reduced (camera + motion) system — the exact joint marginals,
+    strictly more information than the reference's decoupled per-graph
+    marginals (which ignore camera-object cross terms).
+
+    Returns (cov_X (F, 6, 6), cov_H (J, F, 6, 6)).
+    """
+    F, J = state.F, state.J
+    lin = linearize(state, cfg, jnp.asarray(0.0, state.X.dtype))
+    Sigma = jnp.linalg.inv(lin.S)
+    n = 6 * F
+    cov_X = jnp.stack(
+        [Sigma[6 * f : 6 * f + 6, 6 * f : 6 * f + 6] for f in range(F)]
+    )
+    mot = Sigma[n:, n:].reshape(J, F, 6, J, F, 6)
+    cov_H = jnp.stack(
+        [
+            jnp.stack([mot[j, f, :, j, f, :] for f in range(F)])
+            for j in range(J)
+        ]
+    )
+    return cov_X, cov_H
+
+
 def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     op = cfg.optimizer
+    if cfg.decoupled_object_solve:
+        return optimize_decoupled(state, cfg)
 
     def solve_dx(lin):
         L = jnp.linalg.cholesky(lin.S)

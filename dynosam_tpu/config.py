@@ -41,6 +41,10 @@ class MotionSolverParams:
     refine_motion_with_3d: bool = False
     joint_of_k_huber: float = 0.1
     motion_3d_k_huber: float = 0.01
+    # OpticalFlowAndPoseOptimizer::Params (reference MotionSolver.hpp:134-137)
+    flow_sigma: float = 10.0
+    flow_prior_sigma: float = 3.33
+    joint_of_iterations: int = 4
     refinement_iterations: int = 8       # fixed GN iterations on TPU
     # object motions only initialise the backend, which refines them anyway —
     # fewer GN iterations than the camera solve
@@ -157,7 +161,7 @@ class OptimizerParams:
     # iteration budget for incremental mode's warm-started solve (the
     # iSAM2-role update); separate from max_iterations because the warm
     # start leaves little residual work per frame
-    incremental_iterations: int = 3
+    incremental_iterations: int = 5
     # LM accept/reject needs a full robust-cost evaluation per iteration;
     # incremental (warm-started) mode disables it and runs plain damped GN,
     # mirroring iSAM2's non-backtracking updates.
@@ -181,7 +185,17 @@ class OptimizerParams:
 class BackendParams:
     # backend.flags
     optimization_mode: int = 1            # 0 full-batch, 1 sliding-window, 2 incremental
-    backend_updater_enum: int = 0         # 0 WCME (MotionInWorld), 1 WCPE, 3 parallel-hybrid
+    # reference BackendType (BackendDefinitions.hpp:55-68): 0 WCME, 1 WCPE,
+    # 2 full-hybrid (joint solve), 3 parallel-hybrid. Both hybrid enums use
+    # the same keyframed formulation; 3 additionally decouples the solve
+    # order (camera/static first, objects with the camera frozen) when
+    # decoupled_object_solve is set.
+    backend_updater_enum: int = 0
+    # ParallelHybridBackendModule solve order: static fixed-lag first, then
+    # per-object with the camera frozen (robustness: a degenerate object
+    # cannot perturb the camera). Default False = joint solve (strictly more
+    # information; see ACCURACY.md).
+    decoupled_object_solve: bool = False
     opt_window_size: int = 10
     opt_window_overlap: int = 4
     use_vo_factor: bool = True

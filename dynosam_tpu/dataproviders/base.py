@@ -82,8 +82,10 @@ def create_dataset(dataset_type: int, path: str, **kwargs):
         from dynosam_tpu.dataproviders.viode import ViodeDataProvider
 
         return ViodeDataProvider(path, **kwargs)
+    if t == DatasetType.ARIA:
+        from dynosam_tpu.dataproviders.aria import ProjectAriaDataProvider
+
+        return ProjectAriaDataProvider(path, **kwargs)
     raise NotImplementedError(
-        f"Dataset type {t.name} is not implemented yet in dynosam_tpu "
-        "(KITTI / VIRTUAL_KITTI / CLUSTER / OMD / TARTAN_AIR_SHIBUYA / "
-        "VIODE / SYNTHETIC available)."
+        f"Dataset type {t.name} is not implemented in dynosam_tpu."
     )

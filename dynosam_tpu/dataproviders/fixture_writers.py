@@ -536,3 +536,54 @@ def write_clusterslam_sequence(
 
     with open(os.path.join(out_dir, "landmark_mapping.txt"), "w") as f:
         f.write("\n".join(mapping_lines) + "\n")
+
+
+def write_aria_sequence(
+    dense, out_dir: str, timestep: float = 0.1, depth_scale: float = 256.0
+) -> None:
+    """DenseScenario -> Project Aria layout (see aria.py docs). Masks are
+    written with scrambled ids (7 * id + 3) so the loader's persistent
+    relabelling to 1..N is exercised; right/ carries one extra raw frame the
+    loader must pop."""
+    import cv2
+
+    for sub in ("rgb_sync", "right", "depth_sync", "optical_flow",
+                "instance_masks"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    scn = dense.scn
+    n = scn.spec.num_frames
+    frames = [dense.frame(k) for k in range(n)]
+
+    for k in range(n):
+        inp = frames[k]
+        stem = str(int(round(k * timestep * 1e9)))
+        rgb = np.asarray(inp.rgb)
+        bgr = cv2.cvtColor((rgb * 255.0).astype(np.uint8), cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(out_dir, "rgb_sync", stem + ".png"), bgr)
+        cv2.imwrite(
+            os.path.join(out_dir, "right", stem + ".png"),
+            cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY),
+        )
+        cv2.imwrite(
+            os.path.join(out_dir, "depth_sync", stem + ".png"),
+            np.clip(
+                np.round(np.asarray(inp.depth, np.float64) * depth_scale),
+                0, 65535,
+            ).astype(np.uint16),
+        )
+        mask = np.asarray(inp.mask, np.int32)
+        cv2.imwrite(
+            os.path.join(out_dir, "instance_masks", stem + ".png"),
+            np.where(mask > 0, 7 * mask + 3, 0).astype(np.uint8),
+        )
+        if k + 1 < n:
+            write_flo(
+                os.path.join(out_dir, "optical_flow", stem + ".flo"),
+                np.asarray(frames[k + 1].flow),
+            )
+    # one extra raw right frame (the reference pops it, :189-192)
+    cv2.imwrite(
+        os.path.join(out_dir, "right", str(int(round(n * timestep * 1e9))) + ".png"),
+        np.zeros((frames[0].rgb.shape[0], frames[0].rgb.shape[1]), np.uint8),
+    )

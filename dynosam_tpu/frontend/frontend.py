@@ -22,6 +22,7 @@ from dynosam_tpu.frontend import imu as imu_mod
 from dynosam_tpu.frontend import motion
 from dynosam_tpu.frontend.tracker import TrackerState, empty_tracker_state, track_frame
 from dynosam_tpu.frontend.types import FrameInputs, TrackTable, VisionPacket
+from dynosam_tpu.ops import interp
 from dynosam_tpu.utils import lie
 
 
@@ -149,6 +150,44 @@ def frontend_step(
     )
     X_k = jnp.where(first, jnp.eye(4, dtype=state.X_prev.dtype), cam_res.pose)
 
+    # ---- joint optical-flow + camera-pose refinement ----------------------
+    # OpticalFlowAndPoseOptimizer on the ego solve
+    # (RGBDInstanceFrontendModule.cc:374-386): refine the pose AND the static
+    # flows together, then move the keypoints to kp_{k-1} + refined_flow and
+    # re-sample their depths (the optimizeAndUpdate contract).
+    ms = params.motion_solver
+    H_img, W_img = gray.shape[-2], gray.shape[-1]
+
+    def _uv_in_bounds(uv):
+        return (
+            (uv[:, 0] >= 1.0)
+            & (uv[:, 0] <= W_img - 2.0)
+            & (uv[:, 1] >= 1.0)
+            & (uv[:, 1] <= H_img - 2.0)
+        )
+
+    if ms.refine_camera_pose_with_joint_of:
+        ref_mask = s_match & cam_res.valid
+        T_ref, f_s, w_s = motion.joint_flow_pose_refine(
+            lie.inverse(X_k),
+            pts_world_prev,
+            old.s_uv,
+            tracker.s_uv - old.s_uv,
+            ref_mask,
+            intr,
+            ms,
+        )
+        X_k = jnp.where(cam_res.valid & (~first), lie.inverse(T_ref), X_k)
+        uv_ref = old.s_uv + f_s
+        depth_ref = interp.sample_depth(inputs.depth, uv_ref).astype(
+            tracker.s_depth.dtype
+        )
+        upd = ref_mask & (depth_ref > 0) & _uv_in_bounds(uv_ref)
+        tracker = tracker.replace(
+            s_uv=jnp.where(upd[:, None], uv_ref, tracker.s_uv),
+            s_depth=jnp.where(upd, depth_ref, tracker.s_depth),
+        )
+
     # ---- object motions -----------------------------------------------------
     d_match = (
         old.d_valid & tracker.d_valid & (old.d_tid == tracker.d_tid) & (~first)
@@ -170,6 +209,55 @@ def frontend_step(
         intr,
         params.motion_solver,
     )
+
+    # ---- joint optical-flow + object-motion refinement --------------------
+    # Per-object OpticalFlowAndPoseOptimizer (MotionSolver.cc:673-690): solve
+    # G = X_k^-1 H jointly with that object's flows, recover H = X_k G, and
+    # move the dynamic keypoints to their refined positions.
+    obj_motions = obj_res.pose
+    if ms.refine_motion_with_joint_of:
+        T_cw_k = lie.inverse(X_k)
+        flow_d = tracker.d_uv - old.d_uv
+
+        def per_obj(H_j, oid_j, ok_j):
+            mask_j = d_match & (tracker.d_oid == oid_j) & (oid_j > 0) & ok_j
+            T0 = lie.compose(T_cw_k, H_j)
+            T_r, f_r, w_r = motion.joint_flow_pose_refine(
+                T0, pts_world_prev_d, old.d_uv, flow_d, mask_j, intr, ms
+            )
+            return lie.compose(X_k, T_r), f_r, w_r
+
+        H_ref, f_d_all, w_d_all = jax.vmap(per_obj)(
+            obj_res.pose, tracker.obj_ids, obj_res.valid
+        )
+        obj_motions = jnp.where(
+            (obj_res.valid & (tracker.obj_ids > 0))[:, None, None],
+            H_ref,
+            obj_res.pose,
+        )
+        # each dynamic feature takes the flow from its own object's slot
+        slot_hit = (tracker.d_oid[None, :] == tracker.obj_ids[:, None]) & (
+            tracker.obj_ids > 0
+        )[:, None]                                        # (J, Nd)
+        slot_idx = jnp.argmax(slot_hit, axis=0)           # (Nd,)
+        has_slot = jnp.any(slot_hit, axis=0)
+        f_d = jnp.take_along_axis(
+            f_d_all, slot_idx[None, :, None], axis=0
+        )[0]
+        uv_ref_d = old.d_uv + f_d
+        depth_ref_d = interp.sample_depth(inputs.depth, uv_ref_d).astype(
+            tracker.d_depth.dtype
+        )
+        upd_d = (
+            d_match
+            & has_slot
+            & (depth_ref_d > 0)
+            & _uv_in_bounds(uv_ref_d)
+        )
+        tracker = tracker.replace(
+            d_uv=jnp.where(upd_d[:, None], uv_ref_d, tracker.d_uv),
+            d_depth=jnp.where(upd_d, depth_ref_d, tracker.d_depth),
+        )
 
     # ---- packet --------------------------------------------------------------
     packet = VisionPacket(
@@ -193,7 +281,7 @@ def frontend_step(
             valid=tracker.d_valid,
         ),
         object_ids=tracker.obj_ids,
-        object_motions=obj_res.pose,
+        object_motions=obj_motions,
         object_valid=obj_res.valid & (tracker.obj_ids > 0),
         pose_valid=cam_res.valid | first,
     )

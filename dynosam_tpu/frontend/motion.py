@@ -267,3 +267,87 @@ def solve_all_object_motions(
         )
 
     return jax.vmap(per_slot)(keys, object_ids)
+
+
+# ---------------------------------------------------------------------------
+# Joint optical-flow + pose refinement (OpticalFlowAndPoseOptimizer)
+# ---------------------------------------------------------------------------
+
+def joint_flow_pose_refine(
+    T_eff0,             # (4,4) world -> camera-side map (see below)
+    pts_world,          # (N, 3) anchored 3D points from k-1 (held fixed)
+    kp_prev,            # (N, 2) keypoints at k-1
+    flow_meas,          # (N, 2) measured flow (kp_k - kp_prev)
+    valid,              # (N,) bool
+    intr: cam.CameraIntrinsics,
+    params: MotionSolverParams,
+):
+    """Jointly refine a pose-like transform AND the per-feature flows.
+
+    The OpticalFlowAndPoseOptimizer role (reference MotionSolver.hpp:119-213,
+    factors/Pose3FlowProjectionFactor.h:73-130): per feature i
+
+        e1_i = (kp_prev_i + f_i) - pi(T_eff @ P_W_i)     sigma = flow_sigma
+        e2_i = f_i - flow_meas_i                         sigma = flow_prior
+
+    with a Huber loss on e1. `T_eff` is whatever maps world points at k-1 to
+    the frame the prediction is projected in: inverse(X_k) for the camera
+    solve, inverse(X_k) @ H_w for an object-motion solve (the reference's
+    G = X_k^-1 H parameterisation, MotionSolver.cc:673-690).
+
+    TPU shape: the flow variables are Schur-eliminated in closed form — their
+    Hessian blocks are scalar multiples of I2 — so each Gauss-Newton
+    iteration is one batched Jacobian, a 6x6 solve, and fused elementwise
+    updates. No per-feature loop, no sparsity machinery.
+
+    Returns (T_eff_refined, flow_refined (N,2), weights (N,)) where weights
+    fold the final Huber IRLS factor (callers use as a soft inlier mask).
+    """
+    dtype = T_eff0.dtype
+    v = valid.astype(dtype)
+    w_meas = v / params.flow_sigma**2
+    w_prior = v / params.flow_prior_sigma**2
+    k_px = params.joint_of_k_huber * intr.fx          # huber in pixels
+    damping = 1e-6
+
+    def step(carry, _):
+        T, f = carry
+
+        def pred_fn(xi):
+            return cam.project(
+                lie.transform_points(lie.retract(T, xi), pts_world), intr
+            )
+
+        zero = jnp.zeros(6, dtype)
+        pred = pred_fn(zero)                           # (N, 2)
+        Jt = jax.jacfwd(pred_fn)(zero)                 # (N, 2, 6)
+        r1 = (kp_prev + f) - pred
+        r2 = f - flow_meas
+        w1 = w_meas * gauss_newton.huber_weights(
+            jnp.linalg.norm(r1, axis=-1), k_px
+        )
+
+        # normal equations over [xi; f], then Schur over the f blocks:
+        #   H_xx = sum w1 Jt^T Jt          H_xf_i = -w1_i Jt_i^T   (6, 2)
+        #   C_i  = (w1_i + w_prior_i) I2   g_x = -sum w1 Jt^T r1
+        #   g_f_i = w1_i r1_i + w_prior_i r2_i
+        A = lie.einsum("nai,n,naj->ij", Jt, w1, Jt)
+        g_x = -lie.einsum("nai,na->i", Jt, w1[:, None] * r1)
+        c = jnp.maximum(w1 + w_prior, 1e-12)           # (N,)
+        g_f = w1[:, None] * r1 + w_prior[:, None] * r2
+        Hs = A - lie.einsum("nai,n,naj->ij", Jt, w1 * w1 / c, Jt)
+        gs = g_x + lie.einsum("nai,n,na->i", Jt, w1 / c, g_f)
+        Hs = Hs + damping * jnp.eye(6, dtype=dtype)
+        xi = -jnp.linalg.solve(Hs, gs)
+        # back-substitute: df_i = -(g_f_i + H_fx_i xi) / c_i
+        H_fx_xi = -w1[:, None] * lie.einsum("nai,i->na", Jt, xi)
+        df = -(g_f + H_fx_xi) / c[:, None]
+        return (lie.retract(T, xi), f + v[:, None] * df), None
+
+    (T, f), _ = jax.lax.scan(
+        step, (T_eff0, flow_meas), None, length=params.joint_of_iterations
+    )
+    pred = cam.project(lie.transform_points(T, pts_world), intr)
+    r1 = (kp_prev + f) - pred
+    w_final = v * gauss_newton.huber_weights(jnp.linalg.norm(r1, axis=-1), k_px)
+    return T, f, w_final

@@ -90,7 +90,7 @@ def make_fused_step(
     cfg = dataclasses.replace(cfg, backend=bcfg)
 
     # formulation dispatch (backend_updater_enum parity)
-    if bcfg.backend_updater_enum == 3:
+    if bcfg.backend_updater_enum in (2, 3):
         advance_fn = window_mod.advance_hybrid
         update_fn = graph_mod.update_from_packet_hybrid
         optimize_fn = hybrid_mod.optimize
@@ -116,7 +116,7 @@ def make_fused_step(
         prev = jnp.maximum(latest - 1, 0)
         # F2F world motion + its validity (both reference slots must exist;
         # see RegularBackend._device_outputs for the per-formulation rules)
-        if bcfg.backend_updater_enum == 3:
+        if bcfg.backend_updater_enum in (2, 3):
             H_out = hybrid_mod.f2f_motion(g, latest)
             H_ok = (
                 g.H_valid[:, latest]

@@ -28,7 +28,10 @@ import numpy as np
 
 FORMS = {0: "wcme", 1: "wcpe", 3: "hybrid"}
 MODES = {0: "batch", 1: "sliding", 2: "incremental"}
-DATASET_TYPES = {"kitti": 0, "vkitti": 1, "omd": 3, "synthetic": 100}
+DATASET_TYPES = {
+    "kitti": 0, "vkitti": 1, "cluster": 2, "omd": 3, "aria": 4,
+    "tartanair": 5, "viode": 6, "synthetic": 100,
+}
 
 
 def make_config(form: int, mode: int, frames: int):

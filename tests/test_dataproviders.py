@@ -104,11 +104,11 @@ class TestKitti:
     def test_factory(self, kitti_dir):
         ds = create_dataset(DatasetType.KITTI, kitti_dir)
         assert len(ds) == 3
-        # CLUSTER is implemented now; a KITTI directory just isn't one
-        with pytest.raises(FileNotFoundError):
-            create_dataset(DatasetType.CLUSTER, kitti_dir)
-        with pytest.raises(NotImplementedError):
-            create_dataset(DatasetType.ARIA, kitti_dir)
+        # every reference dataset type is implemented; a KITTI directory
+        # simply isn't one of the others
+        for t in (DatasetType.CLUSTER, DatasetType.ARIA):
+            with pytest.raises(FileNotFoundError):
+                create_dataset(t, kitti_dir)
 
     def test_iter(self, kitti_dir):
         ds = KittiDataProvider(kitti_dir)

@@ -189,3 +189,81 @@ class TestHybridStreaming:
             jnp.asarray(out.X_world_cam), noisy_scn.X_gt[11]
         )
         assert float(jnp.linalg.norm(err)) < 0.1
+
+
+class TestDecoupledAndCovariance:
+    """ParallelHybrid solve order + gtsam::Marginals role."""
+
+    def test_decoupled_converges_near_joint(self, noisy_scn):
+        scn = noisy_scn
+        joint = RegularBackend(hyb_cfg(optimization_mode=0, max_frames=12),
+                               scn.intr)
+        dec = RegularBackend(
+            hyb_cfg(optimization_mode=0, max_frames=12,
+                    decoupled_object_solve=True),
+            scn.intr,
+        )
+        for k in range(scn.spec.num_frames):
+            pkt = scn.measurements(k, MAX_OBJ)
+            joint.step(pkt)
+            dec.step(pkt)
+        joint.finish()
+        dec.finish()
+
+        def errs(be):
+            out = []
+            for f in range(2, scn.spec.num_frames):
+                for j in range(2):
+                    H = be.motion_at(f, object_id=scn.object_ids[j])
+                    if H is None:
+                        continue
+                    e = lie.local_coordinates(
+                        jnp.asarray(H), scn.H_gt[j][f]
+                    )
+                    out.append(float(jnp.linalg.norm(e)))
+            return float(np.mean(out))
+
+        e_joint, e_dec = errs(joint), errs(dec)
+        # decoupling trades a little accuracy for robustness; it must still
+        # land in the same regime as the joint solve
+        assert e_dec < 3.0 * e_joint + 1e-3
+        assert np.isfinite(e_dec)
+
+    def test_marginal_covariances(self, noisy_scn):
+        scn = noisy_scn
+        be = RegularBackend(hyb_cfg(optimization_mode=0, max_frames=12),
+                            scn.intr)
+        for k in range(scn.spec.num_frames):
+            be.step(scn.measurements(k, MAX_OBJ))
+        be.finish()
+        cov_X, cov_H = be.marginal_covariances()
+        F = be.state.F
+        assert cov_X.shape == (F, 6, 6)
+        assert cov_H.shape == (be.state.J, F, 6, 6)
+        # covariances are symmetric PSD with sane magnitudes on the frames
+        # that hold estimated variables
+        n = int(be.state.num_frames)
+        for f in range(n):
+            C = cov_X[f]
+            np.testing.assert_allclose(C, C.T, atol=1e-6)
+            ev = np.linalg.eigvalsh(C)
+            assert ev.min() > -1e-7
+            assert ev.max() < 1.0
+        # the gauge-anchored first pose is the most certain
+        assert np.trace(cov_X[0]) <= np.trace(cov_X[n - 1]) + 1e-6
+
+    def test_wcme_covariance_raises(self, noisy_scn):
+        be = RegularBackend(
+            BackendParams(max_frames=8, max_objects=MAX_OBJ,
+                          max_static_landmarks=256, max_dynamic_landmarks=96,
+                          backend_updater_enum=0),
+            noisy_scn.intr,
+        )
+        with pytest.raises(NotImplementedError):
+            be.marginal_covariances()
+
+    def test_enum2_is_hybrid(self):
+        be = RegularBackend(hyb_cfg(backend_updater_enum=2),
+                            Scenario(ScenarioSpec.default_two_objects(
+                                num_frames=4)).intr)
+        assert be.hybrid

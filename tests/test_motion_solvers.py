@@ -135,3 +135,81 @@ def test_solvers_jit_compile(scenario):
 
     res = run(jax.random.PRNGKey(0), pts_world, uv_k, pts_cam_k, valid)
     assert bool(res.valid)
+
+
+class TestJointFlowPoseRefine:
+    """OpticalFlowAndPoseOptimizer parity: jointly refining pose + flows must
+    beat refining the pose against the noisy flows alone."""
+
+    def _make(self, key, N=120, flow_noise=1.5):
+        rng = np.random.default_rng(3)
+        pts_world = np.stack(
+            [
+                rng.uniform(-4, 4, N),
+                rng.uniform(-2, 2, N),
+                rng.uniform(6, 14, N),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        intr = cam.CameraIntrinsics.create(
+            fx=300.0, fy=300.0, cx=160.0, cy=120.0, width=320, height=240
+        )
+        X_true = np.asarray(
+            lie.retract(
+                jnp.eye(4), jnp.array([0.01, -0.02, 0.005, 0.1, 0.05, 0.3])
+            )
+        )
+        T_cw_true = np.linalg.inv(X_true)
+        kp_prev = np.asarray(cam.project(jnp.asarray(pts_world), intr))
+        kp_k_true = np.asarray(
+            cam.project(
+                lie.transform_points(jnp.asarray(T_cw_true), pts_world), intr
+            )
+        )
+        flow_true = kp_k_true - kp_prev
+        flow_meas = flow_true + rng.normal(0, flow_noise, flow_true.shape)
+        return pts_world, intr, X_true, kp_prev, flow_true, flow_meas
+
+    def test_refines_pose_and_flow(self):
+        pts_world, intr, X_true, kp_prev, flow_true, flow_meas = self._make(0)
+        params = MotionSolverParams(joint_of_iterations=6)
+        valid = jnp.ones(kp_prev.shape[0], bool)
+        # start from a perturbed pose
+        T0 = lie.retract(
+            jnp.asarray(np.linalg.inv(X_true), jnp.float32),
+            jnp.array([0.02, -0.015, 0.01, 0.15, -0.1, 0.2]),
+        )
+        T, f, w = motion.joint_flow_pose_refine(
+            T0, jnp.asarray(pts_world), jnp.asarray(kp_prev),
+            jnp.asarray(flow_meas, jnp.float32), valid, intr, params,
+        )
+        # pose error shrinks vs the initial perturbation
+        err0 = np.linalg.norm(
+            np.asarray(lie.se3_log(lie.compose(T0, jnp.asarray(X_true))))
+        )
+        err1 = np.linalg.norm(
+            np.asarray(lie.se3_log(lie.compose(T, jnp.asarray(X_true))))
+        )
+        # the flow prior anchors the solution to the (noisy) measurements, so
+        # the pose lands near the noise floor rather than exactly at truth
+        assert err1 < 0.2 * err0
+        # refined flows are closer to the true flow than the measurements
+        # (modestly: the flow prior's 1/3.33^2 weight dominates the
+        # projection term's 1/10^2, per the reference's sigmas)
+        e_meas = np.linalg.norm(flow_meas - flow_true, axis=-1).mean()
+        e_ref = np.linalg.norm(np.asarray(f) - flow_true, axis=-1).mean()
+        assert e_ref < 0.95 * e_meas
+        assert np.asarray(w).min() >= 0
+
+    def test_invalid_mask_is_noop(self):
+        pts_world, intr, X_true, kp_prev, flow_true, flow_meas = self._make(1)
+        params = MotionSolverParams()
+        T0 = jnp.asarray(np.linalg.inv(X_true), jnp.float32)
+        T, f, w = motion.joint_flow_pose_refine(
+            T0, jnp.asarray(pts_world), jnp.asarray(kp_prev),
+            jnp.asarray(flow_meas, jnp.float32),
+            jnp.zeros(kp_prev.shape[0], bool), intr, params,
+        )
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f), flow_meas, atol=1e-5)
+        assert np.all(np.asarray(w) == 0)

@@ -196,3 +196,49 @@ class TestClusterSlamProvider:
         assert valid.mean() > 0.2
         rel = np.abs(got[valid] - gt[valid]) / gt[valid]
         assert np.median(rel) < 0.05
+
+
+class TestAriaProvider:
+    @pytest.fixture(scope="class")
+    def ds(self, dense, tmp_path_factory):
+        from dynosam_tpu.dataproviders.fixture_writers import (
+            write_aria_sequence,
+        )
+
+        out = str(tmp_path_factory.mktemp("aria"))
+        write_aria_sequence(dense, out)
+        return create_dataset(DatasetType.ARIA, out, depth_scale=256.0)
+
+    def test_size_and_hardcoded_intrinsics(self, ds, dense):
+        assert len(ds) == dense.scn.spec.num_frames - 1
+        intr = ds.intrinsics()
+        assert float(intr.fx) == pytest.approx(267.644012)
+        assert float(intr.fy) == pytest.approx(311.656128)
+
+    def test_persistent_mask_relabelling(self, ds, dense):
+        # scrambled ids come back as a stable 1..N mapping consistent with
+        # the original labels across frames
+        m2 = np.asarray(ds.frame(2).mask)
+        m3 = np.asarray(ds.frame(3).mask)
+        w2 = np.asarray(dense.frame(2).mask)
+        w3 = np.asarray(dense.frame(3).mask)
+        mapping = {}
+        for orig, got in ((w2, m2), (w3, m3)):
+            for oid in (v for v in np.unique(orig) if v != 0):
+                sel = orig == oid
+                vals, counts = np.unique(got[sel], return_counts=True)
+                label = vals[np.argmax(counts)]
+                assert label > 0
+                if oid in mapping:
+                    assert mapping[oid] == label
+                mapping[oid] = label
+
+    def test_depth_and_flow(self, ds, dense):
+        f = ds.frame(2)
+        gt = np.asarray(dense.frame(2).depth)
+        rel = np.abs(np.asarray(f.depth) - gt) / gt
+        assert np.median(rel) < 5e-3
+        assert np.allclose(
+            np.asarray(f.flow), np.asarray(dense.frame(2).flow), atol=1e-5
+        )
+        assert ds.ground_truth(2) is None
