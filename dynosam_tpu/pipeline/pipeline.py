@@ -14,6 +14,7 @@ prefetch thread.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterable, Iterator, List, Optional
@@ -141,6 +142,16 @@ class DynoPipeline:
                     self.trajectory[fid] = X[i]
         if self.logger is not None:
             self.logger.close()
+            # shutdown dump (PipelineManager.cc:146-147): per-tag timing
+            # samples + the human-readable summary next to the CSV logs
+            out_dir = self.logger.path
+            from dynosam_tpu.utils.stats import Statistics
+
+            Statistics.write_all_samples_to_csv(
+                os.path.join(out_dir, "statistics_samples.csv")
+            )
+            with open(os.path.join(out_dir, "statistics_summary.txt"), "w") as f:
+                f.write(Statistics.summary())
 
     # ------------------------------------------------------------------
     def _log(self, packet: VisionPacket, out: BackendOutput, gt):

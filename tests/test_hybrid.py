@@ -267,3 +267,24 @@ class TestDecoupledAndCovariance:
                             Scenario(ScenarioSpec.default_two_objects(
                                 num_frames=4)).intr)
         assert be.hybrid
+
+
+class TestLargeObjectCapacity:
+    """De-looped assembly: J=16 slots compile and solve (compile time is
+    J-independent — constant one-hot contractions, no Python J-loops; see
+    STATUS.md compile-time table)."""
+
+    def test_j16_ingest_optimize_advance(self, noisy_scn):
+        cfg = hyb_cfg(max_objects=16, max_frames=8)
+        st = graph.empty_graph(cfg)
+        scn = noisy_scn
+        for k in range(8):
+            st = graph.update_from_packet_hybrid(
+                st, scn.measurements(k, 16), scn.intr, cfg
+            )
+        st = hybrid.optimize(st, cfg)
+        errs = f2f_errors(st, scn, [3, 5, 7])
+        assert errs and float(np.mean(errs)) < 0.05
+        st2 = window.advance_hybrid(st, cfg)
+        assert bool(jnp.isfinite(st2.X).all())
+        assert bool(jnp.isfinite(st2.prior_L).all())

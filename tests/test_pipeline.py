@@ -148,3 +148,54 @@ class TestViz:
         files = os.listdir(os.path.join(str(tmp_path), "viz"))
         assert "tracking_000000.png" in files
         assert "trajectory_topdown.png" in files
+
+
+class TestPrefetchDeterminism:
+    """Race-detection role (SURVEY §5): the host prefetch thread must not
+    change results — parallel_run and sequential runs produce identical
+    trajectories, and the shutdown dump writes samples + summary."""
+
+    def _cfg(self):
+        cfg = DynoConfig(
+            frontend=FrontendParams(
+                max_objects=2,
+                tracker=TrackerParams(
+                    max_features_per_frame=64,
+                    min_features_per_frame=16,
+                    max_dynamic_features_per_frame=64,
+                    detection_cell_size=8,
+                    min_corner_response=1e-7,
+                ),
+            ),
+            backend=BackendParams(
+                optimization_mode=1,
+                max_frames=4,
+                max_objects=2,
+                max_static_landmarks=64,
+                max_dynamic_landmarks=64,
+            ),
+        )
+        return cfg
+
+    def test_parallel_equals_sequential(self, tmp_path):
+        dense = default_dense_scenario(num_frames=6)
+        frames = [dense.frame(k) for k in range(6)]
+
+        cfg_seq = self._cfg()
+        cfg_seq.pipeline.parallel_run = False
+        p_seq = DynoPipeline(cfg_seq, dense.intr)
+        p_seq.run(frames)
+
+        cfg_par = self._cfg()
+        cfg_par.pipeline.parallel_run = True
+        out = str(tmp_path / "par")
+        p_par = DynoPipeline(cfg_par, dense.intr, output_path=out)
+        p_par.run(frames)
+        p_par.finish()
+
+        np.testing.assert_allclose(
+            np.stack(p_seq.trajectory), np.stack(p_par.trajectory), atol=1e-6
+        )
+        # shutdown dump (PipelineManager.cc:146-147 contract)
+        assert os.path.exists(os.path.join(out, "statistics_samples.csv"))
+        assert os.path.exists(os.path.join(out, "statistics_summary.txt"))
