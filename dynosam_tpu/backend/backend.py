@@ -108,6 +108,16 @@ class RegularBackend:
     # ------------------------------------------------------------------
     def step(self, packet: VisionPacket, optimize: Optional[bool] = None) -> BackendOutput:
         cfg = self.cfg
+        if cfg.regular_backend_static_only:
+            # reference flag: the backend estimates the camera/static scene
+            # only — dynamic measurements and object motions are dropped at
+            # ingestion (RegularBackendModule static-only configuration)
+            packet = packet.replace(
+                dynamic_tracks=packet.dynamic_tracks.replace(
+                    valid=jnp.zeros_like(packet.dynamic_tracks.valid)
+                ),
+                object_valid=jnp.zeros_like(packet.object_valid),
+            )
         if int(self.state.num_frames) >= cfg.max_frames:
             if cfg.optimization_mode == 0:
                 raise RuntimeError(

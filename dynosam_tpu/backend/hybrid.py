@@ -207,13 +207,23 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def linearize(
-    state: GraphState, cfg: BackendParams, lam, dynamic_scale: float = 1.0
+    state: GraphState,
+    cfg: BackendParams,
+    lam,
+    dynamic_scale: float = 1.0,
+    fixed_scale: float = 1.0,
+    final_reg: bool = True,
 ) -> _HybridLin:
     """Build the reduced (camera + motion) normal equations.
 
     `dynamic_scale` scales every dynamic-observation and smoothing weight;
     0.0 gives the static-only system used by the decoupled (ParallelHybrid)
-    camera phase."""
+    camera phase. `fixed_scale` scales the NON-landmark terms (smoothing,
+    odometry, gauge, marginal prior): under landmark-sharded assembly
+    (parallel/sharded.py) each of P shards contributes its local landmark
+    sums plus 1/P of the replicated terms, so the psum is exact.
+    `final_reg=False` defers the data-dependent diagonal regularisation to
+    the caller (it is nonlinear in the psum)."""
     F, J, Ls, Ld = state.F, state.J, state.Ls, state.Ld
     D = state.D
     dtype = state.X.dtype
@@ -334,9 +344,9 @@ def linearize(
 
     # ================= smoothing ternary (per object, batched) ============
     r_sm, J_A, J_B, J_C = _smooth_triple_terms(state)        # (J,F,...)
-    w_sm = dynamic_scale * _smooth_triple_mask(state, cfg).astype(dtype)[
-        ..., None
-    ] / (sig["smooth"] ** 2)                                 # (J,F,6)
+    w_sm = (dynamic_scale * fixed_scale) * _smooth_triple_mask(
+        state, cfg
+    ).astype(dtype)[..., None] / (sig["smooth"] ** 2)        # (J,F,6)
     # pairwise weighted products
     JAw = jnp.swapaxes(J_A, -1, -2) * w_sm[..., None, :]
     JBw = jnp.swapaxes(J_B, -1, -2) * w_sm[..., None, :]
@@ -383,25 +393,28 @@ def linearize(
         X_prev = jnp.concatenate([state.X[:1], state.X[:-1]], axis=0)
         r_o = factors.between_residual(X_prev, state.X, state.odom)
         J_Ao, J_Bo = factors.between_jacobians(X_prev, state.X, state.odom, r=r_o)
-        w_o = _odom_mask(state).astype(dtype)[:, None] / sig["odom"] ** 2
+        w_o = fixed_scale * _odom_mask(state).astype(dtype)[:, None] / (
+            sig["odom"] ** 2
+        )
         od_block, od_g = _chain_se3_blocks(r_o, J_Ao, J_Bo, w_o)
         S = S.at[: 6 * F, : 6 * F].add(od_block.reshape(6 * F, 6 * F))
         rhs = rhs.at[: 6 * F].add(-od_g.reshape(-1))
 
     r_p = factors.prior_residual(state.X[0], state.X0_prior)
     J_p = factors.prior_jacobian(state.X[0], state.X0_prior, r=r_p)
-    w_p = (~state.prior_valid).astype(dtype) / sig["prior0"] ** 2
+    w_p = fixed_scale * (~state.prior_valid).astype(dtype) / sig["prior0"] ** 2
     S = S.at[:6, :6].add(w_p * lie.mm(jnp.swapaxes(J_p, -1, -2), J_p))
     rhs = rhs.at[:6].add(-w_p * (jnp.swapaxes(J_p, -1, -2) @ r_p))
 
     dx_lin = _prior_dx(state)
     r_mp = state.prior_b + state.prior_L @ dx_lin
-    pv = state.prior_valid.astype(dtype)
+    pv = fixed_scale * state.prior_valid.astype(dtype)
     S = S + pv * lie.mm(state.prior_L.T, state.prior_L)
     rhs = rhs - pv * (state.prior_L.T @ r_mp)
 
-    diag = jnp.diag(S)
-    S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
+    if final_reg:
+        diag = jnp.diag(S)
+        S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
 
     return _HybridLin(
         S=S, rhs=rhs, Hpp_inv_s=Hpp_inv_s, g_s=g_s, A_s=A_s,
@@ -465,6 +478,9 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
     n = 6 * state.F
     D = state.D
     lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+    # FLAGS_num_dynamic_optimize (ParallelHybridBackendModule.cc:64,525):
+    # iteration budget of the per-object phase; 0 = optimizer default
+    obj_iters = cfg.num_dynamic_optimize or op.max_iterations
 
     def chol_solve(S, g):
         L = jnp.linalg.cholesky(S)
@@ -492,7 +508,7 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
         return jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st), None
 
     state, _ = jax.lax.scan(cam_step, state, None, length=op.max_iterations)
-    state, _ = jax.lax.scan(obj_step, state, None, length=op.max_iterations)
+    state, _ = jax.lax.scan(obj_step, state, None, length=obj_iters)
     return state
 
 

@@ -267,7 +267,6 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
     onehot = hyb._object_onehot(state, dtype)
     r_h, y_h, q, RH = hyb._hybrid_obs_terms(state, onehot)
     mask = hyb._obs_mask(state, onehot)
-    iw = mask[:, 0].astype(dtype)[:, None] / (state.d_sig[:, 0] ** 2)  # (Ld,3)
 
     eye3 = jnp.eye(3, dtype=dtype)
     y0 = y_h[:, 0]
@@ -281,12 +280,44 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
         :, None, None
     ]
 
+    # Matrix observation weights with FIRST-ORDER POINT UNCERTAINTY: the
+    # departing factors reference the surviving embedded points m_L; holding
+    # them at their estimates (round 1) made the marginal prior over-
+    # confident (incremental/sliding 2-3x worse than batch). Instead treat
+    # m_L ~ N(m_hat, Sigma_m) with Sigma_m from the full-window point
+    # Hessian (diagonal 3x3 blocks, same quantity the solver's Schur uses)
+    # and inflate each slot-0 observation's noise:
+    #   C_l = diag(sigma_l^2) + J_m Sigma_m J_m^T,   W_l = C_l^{-1}.
+    if getattr(cfg, "marginal_point_uncertainty", True):
+        from dynosam_tpu.ops import block_tridiag as bt
+
+        iw_full = mask.astype(dtype)[..., None] / (state.d_sig ** 2)
+        RtRH_all = lie.einsum("fba,lfbc->lfac", lie.rotation(state.X), RH)
+        Lj_R = lie.einsum("lj,jab->lab", onehot, lie.rotation(state.L_e))
+        assigned = jnp.sum(onehot, axis=1) > 0.5
+        Lj_R = jnp.where(assigned[:, None, None], Lj_R, eye3)
+        Jm_all = lie.einsum("lfab,lbc->lfac", RtRH_all, Lj_R)
+        Hpp = lie.einsum("lfba,lfb,lfbc->lac", Jm_all, iw_full, Jm_all) + (
+            _EPS_REG * eye3
+        )
+        Sigma_m = bt.inv3(Hpp)                                # (Ld, 3, 3)
+        Jm0 = Jm_all[:, 0]
+        C = (state.d_sig[:, 0] ** 2)[:, :, None] * eye3 + lie.mm(
+            lie.mm(Jm0, Sigma_m), jnp.swapaxes(Jm0, -1, -2)
+        )
+        W = bt.inv3(C) * mask[:, 0].astype(dtype)[:, None, None]  # (Ld,3,3)
+    else:
+        W = (
+            mask[:, 0].astype(dtype)[:, None]
+            / (state.d_sig[:, 0] ** 2)
+        )[..., None] * eye3
+
     r0 = r_h[:, 0]
-    H_xx = lie.einsum("lba,lb,lbc->ac", Jx, iw, Jx)
-    g_x = lie.einsum("lba,lb->a", Jx, iw * r0)
-    H_hh = lie.einsum("lba,lb,lbc->lac", Jh, iw, Jh)
-    g_h = lie.einsum("lba,lb->la", Jh, iw * r0)
-    H_xh = lie.einsum("lba,lb,lbc->lac", Jx, iw, Jh)
+    H_xx = lie.einsum("lba,lbc,lcd->ad", Jx, W, Jx)
+    g_x = lie.einsum("lba,lbc,lc->a", Jx, W, r0)
+    H_hh = lie.einsum("lba,lbc,lcd->lad", Jh, W, Jh)
+    g_h = lie.einsum("lba,lbc,lc->la", Jh, W, r0)
+    H_xh = lie.einsum("lba,lbc,lcd->lad", Jx, W, Jh)
     H_hh_obj = lie.einsum("lac,lj->jac", H_hh, onehot)
     g_h_obj = lie.einsum("la,lj->ja", g_h, onehot)
     H_xh_obj = lie.einsum("lac,lj->jac", H_xh, onehot)

@@ -45,6 +45,9 @@ class MotionSolverParams:
     flow_sigma: float = 10.0
     flow_prior_sigma: float = 3.33
     joint_of_iterations: int = 4
+    # per-iteration tangent-step cap for the joint refinement (guards
+    # near-singular low-support solves from diverging)
+    joint_of_max_step: float = 0.5
     refinement_iterations: int = 8       # fixed GN iterations on TPU
     # object motions only initialise the backend, which refines them anyway —
     # fewer GN iterations than the camera solve
@@ -196,6 +199,12 @@ class BackendParams:
     # cannot perturb the camera). Default False = joint solve (strictly more
     # information; see ACCURACY.md).
     decoupled_object_solve: bool = False
+    # Marginalisation treatment of surviving embedded points referenced by
+    # departing factors (hybrid advance): True inflates the departing
+    # observation noise by the point's full-window marginal covariance
+    # (first-order marginalisation); False holds points fixed (round-1
+    # behaviour, over-confident priors).
+    marginal_point_uncertainty: bool = True
     opt_window_size: int = 10
     opt_window_overlap: int = 4
     use_vo_factor: bool = True

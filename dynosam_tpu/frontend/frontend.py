@@ -225,19 +225,24 @@ def frontend_step(
             T_r, f_r, w_r = motion.joint_flow_pose_refine(
                 T0, pts_world_prev_d, old.d_uv, flow_d, mask_j, intr, ms
             )
-            return lie.compose(X_k, T_r), f_r, w_r
+            return lie.compose(X_k, T_r), f_r, w_r, jnp.sum(mask_j)
 
-        H_ref, f_d_all, w_d_all = jax.vmap(per_obj)(
+        H_ref, f_d_all, w_d_all, n_support = jax.vmap(per_obj)(
             obj_res.pose, tracker.obj_ids, obj_res.valid
         )
-        obj_motions = jnp.where(
-            (obj_res.valid & (tracker.obj_ids > 0))[:, None, None],
-            H_ref,
-            obj_res.pose,
+        # a refined motion needs real support — below the RANSAC inlier
+        # floor the joint system is ill-conditioned and the RANSAC+GN
+        # estimate is the better answer
+        ref_ok = (
+            obj_res.valid
+            & (tracker.obj_ids > 0)
+            & (n_support >= ms.object.min_inliers)
         )
+        obj_motions = jnp.where(ref_ok[:, None, None], H_ref, obj_res.pose)
         # each dynamic feature takes the flow from its own object's slot
+        # (only slots whose refinement had real support)
         slot_hit = (tracker.d_oid[None, :] == tracker.obj_ids[:, None]) & (
-            tracker.obj_ids > 0
+            ref_ok
         )[:, None]                                        # (J, Nd)
         slot_idx = jnp.argmax(slot_hit, axis=0)           # (Nd,)
         has_slot = jnp.any(slot_hit, axis=0)

@@ -308,7 +308,11 @@ def joint_flow_pose_refine(
     w_meas = v / params.flow_sigma**2
     w_prior = v / params.flow_prior_sigma**2
     k_px = params.joint_of_k_huber * intr.fx          # huber in pixels
+    # relative damping + a step cap: with < 3 supporting features the Schur
+    # system is near-singular and an uncapped GN step diverges wildly
+    # (catastrophic refined motions on object re-entry frames)
     damping = 1e-6
+    max_step = params.joint_of_max_step
 
     def step(carry, _):
         T, f = carry
@@ -337,8 +341,13 @@ def joint_flow_pose_refine(
         g_f = w1[:, None] * r1 + w_prior[:, None] * r2
         Hs = A - lie.einsum("nai,n,naj->ij", Jt, w1 * w1 / c, Jt)
         gs = g_x + lie.einsum("nai,n,na->i", Jt, w1 / c, g_f)
-        Hs = Hs + damping * jnp.eye(6, dtype=dtype)
+        Hs = Hs + (
+            damping + 1e-6 * jnp.max(jnp.abs(jnp.diag(Hs)))
+        ) * jnp.eye(6, dtype=dtype)
         xi = -jnp.linalg.solve(Hs, gs)
+        nrm = jnp.linalg.norm(xi)
+        xi = xi * jnp.minimum(1.0, max_step / jnp.maximum(nrm, 1e-12))
+        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
         # back-substitute: df_i = -(g_f_i + H_fx_i xi) / c_i
         H_fx_xi = -w1[:, None] * lie.einsum("nai,i->na", Jt, xi)
         df = -(g_f + H_fx_xi) / c[:, None]

@@ -88,6 +88,7 @@ class DynoPipeline:
         self.last_packet: Optional[VisionPacket] = None
         self.frontend_trajectory: List[np.ndarray] = []
         self.outputs: List[BackendOutput] = []
+        self._gts: List[Optional[GroundTruthFrame]] = []
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -109,6 +110,7 @@ class DynoPipeline:
         self.frontend_trajectory.append(np.asarray(packet.X_world_cam))
         self.trajectory.append(out.X_world_cam)
         self.outputs.append(out)
+        self._gts.append(gt)
         self.last_packet = packet
         if self.logger is not None:
             self._log(packet, out, gt)
@@ -140,6 +142,8 @@ class DynoPipeline:
             for i, fid in enumerate(ids):
                 if 0 <= fid < len(self.trajectory):
                     self.trajectory[fid] = X[i]
+            if self.logger is not None:
+                self._relog_batch()
         if self.logger is not None:
             self.logger.close()
             # shutdown dump (PipelineManager.cc:146-147): per-tag timing
@@ -152,6 +156,41 @@ class DynoPipeline:
             )
             with open(os.path.join(out_dir, "statistics_summary.txt"), "w") as f:
                 f.write(Statistics.summary())
+
+    def _relog_batch(self):
+        """Full-batch: rewrite the camera-pose / object-motion / object-pose
+        logs from the FINAL solve. Streamed rows are written before
+        `finish()` optimizes, so without this the batch cells would evaluate
+        pre-optimization estimates (the reference's batch mode logs after
+        updateBatch)."""
+        self.logger.reset(("camera_pose", "object_motion", "object_pose"))
+        L_cur = {}
+        for fid, out in enumerate(self.outputs):
+            gt = self._gts[fid] if fid < len(self._gts) else None
+            gt_X = np.asarray(gt.X_world_cam) if gt is not None else None
+            self.logger.log_camera_pose(fid, self.trajectory[fid], gt_X)
+            for j, oid in enumerate(out.object_ids):
+                oid = int(oid)
+                if oid <= 0 or not out.object_motion_valid[j]:
+                    continue
+                H = self.backend.motion_at(fid, object_id=oid)
+                H = np.asarray(H) if H is not None else out.object_motions[j]
+                # re-propagate poses with the final motions from the object's
+                # streamed anchor pose
+                if oid not in L_cur:
+                    L_cur[oid] = np.asarray(out.object_poses[j])
+                else:
+                    L_cur[oid] = H @ L_cur[oid]
+                H_gt = None
+                L_gt = None
+                if gt is not None:
+                    gids = np.asarray(gt.object_ids)
+                    hit = np.nonzero(gids == oid)[0]
+                    if len(hit):
+                        H_gt = np.asarray(gt.object_motions[int(hit[0])])
+                        L_gt = np.asarray(gt.object_poses[int(hit[0])])
+                self.logger.log_object_motion(fid, oid, H, H_gt)
+                self.logger.log_object_pose(fid, oid, L_cur[oid], L_gt)
 
     # ------------------------------------------------------------------
     def _log(self, packet: VisionPacket, out: BackendOutput, gt):

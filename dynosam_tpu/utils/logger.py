@@ -70,6 +70,15 @@ class EstimationModuleLogger:
         w.writerow(header)
         self._files[kind] = f
         self._writers[kind] = w
+        self._headers = getattr(self, "_headers", {})
+        self._headers[kind] = header
+
+    def reset(self, kinds):
+        """Truncate + reopen the given logs (used by full-batch mode to
+        rewrite streamed rows from the final solve)."""
+        for kind in kinds:
+            self._files[kind].close()
+            self._open(kind, self._headers[kind])
 
     # ------------------------------------------------------------------
     def log_camera_pose(self, frame_id: int, T, T_gt=None):

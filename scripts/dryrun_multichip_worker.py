@@ -81,9 +81,53 @@ def main() -> None:
                 f"shard-equivalence failed for output '{name}': max |diff|={err}"
             )
 
+    # --- model parallelism: landmark-sharded Hessian assembly ----------
+    # (parallel/sharded.py — the single-sequence scaling axis). The psum'd
+    # normal equations must match the unsharded linearize bit-for-tolerance.
+    import jax.numpy as jnp
+
+    from dynosam_tpu.backend import graph, hybrid
+    from dynosam_tpu.config import BackendParams, NoiseParams
+    from dynosam_tpu.dataproviders.simulator import Scenario, ScenarioSpec
+    from dynosam_tpu.parallel import sharded
+
+    # noisy measurements give the rhs a real scale — on a noiseless scene it
+    # is pure cancellation and any reassociated f32 psum trips an
+    # absolute-tolerance check
+    scn = Scenario(
+        ScenarioSpec.default_two_objects(
+            num_frames=4, pixel_noise=0.4, depth_noise=0.02, seed=5
+        )
+    )
+    bcfg = BackendParams(
+        max_frames=4, max_objects=4, max_static_landmarks=256,
+        max_dynamic_landmarks=96, backend_updater_enum=3,
+        noise=NoiseParams(use_range_dependent_noise=False),
+    )
+    st = graph.empty_graph(bcfg)
+    for k in range(4):
+        st = graph.update_from_packet_hybrid(
+            st, scn.measurements(k, 4), scn.intr, bcfg
+        )
+    lam = jnp.float32(1e-4)
+    ref_lin = hybrid.linearize(st, bcfg, lam)
+    pmesh = Mesh(devices, ("points",))
+    S_sh, rhs_sh = sharded.sharded_linearize(
+        sharded.shard_state(st, pmesh), bcfg, lam, pmesh
+    )
+    scale = float(jnp.abs(ref_lin.S).max())
+    assert np.allclose(
+        np.asarray(S_sh), np.asarray(ref_lin.S), atol=1e-4 * max(scale, 1.0)
+    ), "landmark-sharded Hessian assembly != unsharded"
+    assert np.allclose(
+        np.asarray(rhs_sh), np.asarray(ref_lin.rhs),
+        atol=1e-4 * max(float(jnp.abs(ref_lin.rhs).max()), 1.0),
+    ), "landmark-sharded rhs != unsharded"
+
     print(
         f"dryrun_multichip OK: {N_DEVICES} devices, 2 steps, "
-        f"shard-equivalence verified on {len(out2)} outputs"
+        f"shard-equivalence verified on {len(out2)} outputs; "
+        f"landmark-sharded assembly (points axis) matches unsharded"
     )
 
 

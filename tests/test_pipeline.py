@@ -199,3 +199,48 @@ class TestPrefetchDeterminism:
         # shutdown dump (PipelineManager.cc:146-147 contract)
         assert os.path.exists(os.path.join(out, "statistics_samples.csv"))
         assert os.path.exists(os.path.join(out, "statistics_summary.txt"))
+
+
+class TestBatchRelog:
+    """Full-batch logs must reflect the FINAL solve (post-finish), not the
+    streamed pre-optimization rows."""
+
+    def test_relog_rewrites_from_final_state(self, tmp_path):
+        dense = default_dense_scenario(num_frames=6)
+        cfg = DynoConfig(
+            frontend=FrontendParams(
+                max_objects=2,
+                tracker=TrackerParams(
+                    max_features_per_frame=64,
+                    min_features_per_frame=16,
+                    max_dynamic_features_per_frame=64,
+                    detection_cell_size=8,
+                    min_corner_response=1e-7,
+                ),
+            ),
+            backend=BackendParams(
+                optimization_mode=0,
+                max_frames=6,
+                max_objects=2,
+                max_static_landmarks=64,
+                max_dynamic_landmarks=64,
+            ),
+        )
+        cfg.pipeline.parallel_run = False
+        out = str(tmp_path / "batch")
+        pipe = DynoPipeline(cfg, dense.intr, output_path=out)
+        pipe.run(
+            [dense.frame(k) for k in range(6)],
+            [dense.scn.ground_truth(k) for k in range(6)],
+        )
+        import csv
+
+        with open(os.path.join(out, "dynosam_tpu_object_motion_log.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert rows, "no motion rows logged"
+        # rewritten rows must match the final backend state exactly
+        for r in rows[:5]:
+            fid, oid = int(r["frame_id"]), int(r["object_id"])
+            H = pipe.backend.motion_at(fid, object_id=oid)
+            assert H is not None
+            assert abs(float(r["tx"]) - float(H[0, 3])) < 1e-6
