@@ -225,9 +225,17 @@ def frontend_step(
             T_r, f_r, w_r = motion.joint_flow_pose_refine(
                 T0, pts_world_prev_d, old.d_uv, flow_d, mask_j, intr, ms
             )
-            return lie.compose(X_k, T_r), f_r, w_r, jnp.sum(mask_j)
+            # trust-region acceptance: the joint refinement is a local
+            # polish of the RANSAC+GN answer — a large departure signals an
+            # ill-conditioned solve (few/biased matches), not a better fit
+            depart = jnp.linalg.norm(
+                lie.se3_log(lie.compose(lie.inverse(T0), T_r))
+            )
+            return (
+                lie.compose(X_k, T_r), f_r, w_r, jnp.sum(mask_j), depart
+            )
 
-        H_ref, f_d_all, w_d_all, n_support = jax.vmap(per_obj)(
+        H_ref, f_d_all, w_d_all, n_support, depart = jax.vmap(per_obj)(
             obj_res.pose, tracker.obj_ids, obj_res.valid
         )
         # a refined motion needs real support — below the RANSAC inlier
@@ -237,6 +245,7 @@ def frontend_step(
             obj_res.valid
             & (tracker.obj_ids > 0)
             & (n_support >= ms.object.min_inliers)
+            & (depart <= ms.joint_of_max_step)
         )
         obj_motions = jnp.where(ref_ok[:, None, None], H_ref, obj_res.pose)
         # each dynamic feature takes the flow from its own object's slot

@@ -97,3 +97,68 @@ def sharded_linearize(
     diag = jnp.diag(S)
     S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
     return S, rhs
+
+
+def sharded_gn_step(
+    state: GraphState,
+    cfg: BackendParams,
+    lam,
+    mesh: Mesh,
+    axis: str = "points",
+    max_step: float = 0.2,
+):
+    """One Gauss-Newton step with landmark-sharded assembly AND back-
+    substitution. The (D, D) solve is replicated on every shard (it is tiny
+    and cheaper than broadcasting the factorisation); the per-landmark point
+    updates in `_apply_update` run shard-local with zero communication.
+
+    Input and output states carry the same landmark sharding, so steps
+    chain without resharding.
+    """
+    Pn = mesh.shape[axis]
+    specs = state_partition_specs(axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=specs,
+    )
+    def step(st):
+        lin = hybrid.linearize(
+            st, cfg, lam, fixed_scale=1.0 / Pn, final_reg=False
+        )
+        S = jax.lax.psum(lin.S, axis)
+        rhs = jax.lax.psum(lin.rhs, axis)
+        diag = jnp.diag(S)
+        S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
+        L = jnp.linalg.cholesky(S)
+        z = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        dx = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        blocks = dx.reshape(-1, 6)
+        norms = jnp.linalg.norm(blocks, axis=-1, keepdims=True)
+        dx = (
+            blocks * jnp.minimum(1.0, max_step / jnp.clip(norms, 1e-12, None))
+        ).reshape(-1)
+        return hybrid._apply_update(st, lin, dx)
+
+    return step(state)
+
+
+def sharded_optimize(
+    state: GraphState,
+    cfg: BackendParams,
+    mesh: Mesh,
+    axis: str = "points",
+    iterations: int = None,
+):
+    """Fixed-iteration damped GN over the mesh (the large-map optimize path;
+    accept/reject needs a replicated cost evaluation and is intentionally
+    omitted — this mirrors incremental mode's plain warm-started GN)."""
+    op = cfg.optimizer
+    lam = jnp.asarray(op.lm_initial_lambda, jnp.float32)
+    for _ in range(iterations or op.max_iterations):
+        state = sharded_gn_step(
+            state, cfg, lam, mesh, axis=axis, max_step=op.gn_max_step
+        )
+    return state

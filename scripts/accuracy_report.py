@@ -243,7 +243,9 @@ def main():
                 "decimeter-scale; the AME RMS column is dominated by a few\n"
                 "information-poor frames (object re-entry / occlusion) while\n"
                 "the median column shows the typical-frame accuracy.\n"
-                "Evaluated via the CSV-log -> DatasetEvaluator contract.\n\n"
+                "Evaluated via the CSV-log -> DatasetEvaluator contract;\n"
+                "full-batch rows are re-logged from the final solve\n"
+                "(streamed rows would be pre-optimization).\n\n"
                 "| Formulation | Mode | camera ATE (cm) | ATE rot (rad) | "
                 "AME rms (cm) | AME median (cm) | AME rot (rad) | #motions |\n"
                 "|---|---|---|---|---|---|---|---|\n"
