@@ -259,7 +259,17 @@ def track_frame(
         & (s_label == 0)
         & (s_depth > 0)
         & (s_depth < params.max_background_depth)
-        & (state.s_age < tp.max_feature_track_age)
+        # staggered expiry: tracks born the same frame (e.g. the bootstrap
+        # cohort) must not age out together — a synchronized cliff leaves
+        # the next solve with no matured correspondences. A deterministic
+        # per-slot offset spreads one cohort's expiry over ~2*age_buffer
+        # frames (the reference's staggering is implicit in its incremental
+        # detection).
+        & (
+            state.s_age
+            < tp.max_feature_track_age
+            + jnp.arange(state.s_age.shape[0]) % (2 * tp.dynamic_feature_age_buffer)
+        )
     )
 
     # ======== dynamic track validity ======================================
@@ -274,7 +284,12 @@ def track_frame(
         & (d_label > 0)
         & (d_depth > 0)
         & (d_depth < params.max_object_depth)
-        & (state.d_age < tp.max_dynamic_feature_age)
+        # staggered expiry (see the static gate above)
+        & (
+            state.d_age
+            < tp.max_dynamic_feature_age
+            + jnp.arange(state.d_age.shape[0]) % (2 * tp.dynamic_feature_age_buffer)
+        )
     )
 
     # ======== detection: static (Shi-Tomasi + grid ANMS) =================

@@ -126,3 +126,25 @@ class DisplayWriter:
 
         img = render_trajectory_topdown(np.stack(trajectory), object_poses)
         cv2.imwrite(os.path.join(self.path, "trajectory_topdown.png"), img)
+
+    def write_video(self, fps: float = 10.0, name: str = "tracking.mp4"):
+        """Assemble the dumped tracking frames into a video (the live-display
+        role of the reference's OpenCVImageDisplayQueue; headless here)."""
+        import cv2
+
+        frames = sorted(
+            f for f in os.listdir(self.path)
+            if f.startswith("tracking_") and f.endswith(".png")
+        )
+        if not frames:
+            return None
+        first = cv2.imread(os.path.join(self.path, frames[0]))
+        h, w = first.shape[:2]
+        out_path = os.path.join(self.path, name)
+        vw = cv2.VideoWriter(
+            out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        for f in frames:
+            vw.write(cv2.imread(os.path.join(self.path, f)))
+        vw.release()
+        return out_path

@@ -155,6 +155,9 @@ def main():
 
     if viz_writer is not None:
         viz_writer.write_trajectory(pipe.trajectory, None)
+        video = viz_writer.write_video()
+        if video:
+            print(f"wrote {video}")
 
     pipe.write_stats(os.path.join(args.output_path, "statistics_samples.csv"))
     print(Statistics.summary())
