@@ -172,3 +172,65 @@ class DatasetEvaluator:
         with open(out_path, "w") as f:
             f.write(text)
         return out_path
+
+    def write_plots(self, out_dir: Optional[str] = None) -> Optional[str]:
+        """Plot collection (the reference's evaluation_lib PDF plots role):
+        per module, a top-down camera trajectory (est vs GT) and per-object
+        motion-error-over-frame lines. PNGs next to the logs; returns the
+        directory or None when matplotlib is unavailable."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        out_dir = out_dir or os.path.join(self.path, "plots")
+        os.makedirs(out_dir, exist_ok=True)
+        for module in self.modules():
+            cam_log = os.path.join(self.path, f"{module}_camera_pose_log.csv")
+            if os.path.exists(cam_log):
+                frames, est, gt = load_camera_pose_log(cam_log)
+                if len(est):
+                    fig, ax = plt.subplots(figsize=(5, 5))
+                    ax.plot(est[:, 0, 3], est[:, 2, 3], label="estimate")
+                    if gt is not None:
+                        ax.plot(
+                            gt[:, 0, 3], gt[:, 2, 3], "--", label="ground truth"
+                        )
+                    ax.set_xlabel("x [m]")
+                    ax.set_ylabel("z [m]")
+                    ax.set_aspect("equal", adjustable="datalim")
+                    ax.legend()
+                    ax.set_title(f"{module}: camera trajectory (top-down)")
+                    fig.tight_layout()
+                    fig.savefig(
+                        os.path.join(out_dir, f"{module}_trajectory.png"),
+                        dpi=120,
+                    )
+                    plt.close(fig)
+
+            mot_log = os.path.join(self.path, f"{module}_object_motion_log.csv")
+            if os.path.exists(mot_log):
+                per_obj = load_object_log(mot_log)
+                if per_obj:
+                    fig, ax = plt.subplots(figsize=(6, 3.5))
+                    for oid, (frames, est, gt) in sorted(per_obj.items()):
+                        if gt is None:
+                            continue
+                        err = np.linalg.norm(
+                            est[:, :3, 3] - gt[:, :3, 3], axis=-1
+                        )
+                        ax.plot(frames, err * 100.0, label=f"object {oid}")
+                    ax.set_xlabel("frame")
+                    ax.set_ylabel("motion error [cm]")
+                    ax.set_yscale("log")
+                    ax.legend(fontsize=7)
+                    ax.set_title(f"{module}: object motion error")
+                    fig.tight_layout()
+                    fig.savefig(
+                        os.path.join(out_dir, f"{module}_motion_error.png"),
+                        dpi=120,
+                    )
+                    plt.close(fig)
+        return out_dir

@@ -165,8 +165,12 @@ def main():
     if args.run_analysis:
         from dynosam_tpu.eval.evaluator import DatasetEvaluator
 
-        report = DatasetEvaluator(args.output_path).write_report()
+        evaluator = DatasetEvaluator(args.output_path)
+        report = evaluator.write_report()
         print(f"evaluation written to {report}")
+        plots = evaluator.write_plots()
+        if plots:
+            print(f"plots written to {plots}")
         with open(report) as f:
             print(f.read())
 

@@ -180,3 +180,14 @@ class TestEvaluator:
         # report write
         p = ev.write_report()
         assert p.endswith("evaluation_results.json")
+        # plot collection (evaluation_lib PDF-plots role)
+        import os
+
+        plots = ev.write_plots()
+        if plots is not None:     # matplotlib present
+            assert os.path.exists(
+                os.path.join(plots, "hybrid_trajectory.png")
+            )
+            assert os.path.exists(
+                os.path.join(plots, "hybrid_motion_error.png")
+            )
