@@ -180,12 +180,20 @@ class DenseScenario:
             p_L = lie.transform_points(lie.inverse(L_stack[j]), pts_w)
             anchor = jnp.where((mask == oid)[..., None], p_L, anchor)
         x, y, z = anchor[..., 0], anchor[..., 1], anchor[..., 2]
-        # two octaves: the low frequency survives at the far wall (where one
-        # pixel subtends ~0.5 m), the high one gives gradients up close
+        # Band-limited octaves (analytic mip-mapping): each octave's amplitude
+        # is attenuated by a Gaussian in (spatial frequency x pixel footprint)
+        # so the texture never aliases — an aliased octave decorrelates any
+        # pair of views whose sample grids differ by a sub-footprint shift
+        # (e.g. a stereo pair at the far wall), which breaks image-space
+        # matching in a way no real camera exhibits.
+        foot = depth / intr.fx                              # meters per pixel
+        def att(freq):
+            return jnp.exp(-0.5 * (freq * foot) ** 2)
         g = (
-            jnp.sin(4.1 * x) * jnp.sin(3.7 * y + 0.9 * z)
-            + 0.6 * jnp.sin(9.3 * x + 7.7 * y) * jnp.sin(8.1 * z)
-            + 0.5 * jnp.sin(1.1 * x + 1.3 * y + 0.7 * z)
+            att(5.5) * jnp.sin(4.1 * x) * jnp.sin(3.7 * y + 0.9 * z)
+            + 0.6 * att(12.1) * jnp.sin(9.3 * x + 7.7 * y) * jnp.sin(8.1 * z)
+            + 0.5 * att(1.9) * jnp.sin(1.1 * x + 1.3 * y + 0.7 * z)
+            + 0.45 * att(0.8) * jnp.sin(0.55 * x + 0.62 * y) * jnp.sin(0.48 * z + 1.1)
         )
         g = jnp.clip(0.5 + 0.24 * g, 0.0, 1.0)
         return jnp.stack([g, g, g], axis=-1)

@@ -37,6 +37,9 @@ class FrontendState:
     # (prefer_provided_optical_flow=False); shape (0, 0) otherwise so the
     # provided-flow path pays no HBM copy per step
     prev_gray: jnp.ndarray
+    # previous instance mask, carried only when use_propogate_mask is on and
+    # the state was built with an image_shape; (0, 0) sentinel otherwise
+    prev_mask: jnp.ndarray
     # world-frame linear velocity estimate for IMU nav-state propagation
     # (zeros and untouched when use_imu is off)
     v_world: jnp.ndarray
@@ -51,6 +54,7 @@ def empty_frontend_state(
             "prefer_provided_optical_flow=False: pass "
             "image_shape=(height, width) so the state can carry prev_gray"
         )
+    pm_mode = params.use_propogate_mask and image_shape is not None
     return FrontendState(
         tracker=empty_tracker_state(params, dtype),
         X_prev=jnp.eye(4, dtype=dtype),
@@ -58,6 +62,7 @@ def empty_frontend_state(
         frame_idx=jnp.array(0, jnp.int32),
         key=key if key is not None else jax.random.PRNGKey(0),
         prev_gray=jnp.zeros(image_shape if klt_mode else (0, 0), dtype),
+        prev_mask=jnp.zeros(image_shape if pm_mode else (0, 0), jnp.int32),
         v_world=jnp.zeros((3,), dtype),
     )
 
@@ -71,6 +76,48 @@ def _to_gray(rgb):
     return 0.299 * r + 0.587 * g + 0.114 * b
 
 
+def _propogate_mask_repair(tracker, prev_mask, flow, mask, params):
+    """Recover objects the detector lost this frame (propogateMask parity).
+
+    Reference: FeatureTracker::propogateMask (FeatureTracker.cc:1212-1360) —
+    for each object tracked at k-1, poll the CURRENT mask at the predicted
+    keypoints; if the majority vote is background (the detector dropped the
+    object), splat the previous mask's object pixels forward through the
+    previous flow. TPU shape: the per-pixel forward splat becomes the
+    gather-based `propagate_mask` advection, and recovered labels only fill
+    pixels the current mask left as background (the reference overwrites
+    unconditionally at splat targets; background-only fill is the
+    conservative batched equivalent)."""
+    from dynosam_tpu.frontend.tracker import propagate_mask
+
+    H, W = mask.shape
+    pred_uv = tracker.d_uv + interp.sample_flow(flow, tracker.d_uv)
+    in_img = (
+        (pred_uv[:, 0] >= 0)
+        & (pred_uv[:, 0] <= W - 1)
+        & (pred_uv[:, 1] >= 0)
+        & (pred_uv[:, 1] <= H - 1)
+    )
+    cur_lab = interp.sample_label(mask, pred_uv)
+    votes = tracker.d_valid & (tracker.d_oid > 0) & in_img
+
+    obj = tracker.obj_ids                                     # (J,)
+    sel = (tracker.d_oid[None, :] == obj[:, None]) & votes[None, :]
+    n = jnp.sum(sel, axis=1)
+    n_zero = jnp.sum(sel & (cur_lab == 0)[None, :], axis=1)
+    lost = (
+        (obj > 0)
+        & (n >= params.tracker.min_dynamic_tracks)
+        & (n_zero * 2 > n)                                    # majority vote
+    )
+
+    adv = propagate_mask(prev_mask, flow)                     # (H, W)
+    recov = jnp.any(
+        (adv[..., None] == obj[None, None, :]) & lost[None, None, :], axis=-1
+    )
+    return jnp.where((mask == 0) & recov, adv, mask)
+
+
 def frontend_step(
     state: FrontendState,
     inputs: FrameInputs,
@@ -82,16 +129,57 @@ def frontend_step(
     old = state.tracker
     gray = _to_gray(inputs.rgb)
     klt_mode = not params.tracker.prefer_provided_optical_flow
+
+    # ---- mask propagation (FeatureTracker.cc:109 -> propogateMask) -------
+    pm_on = params.use_propogate_mask and state.prev_mask.size > 0
+    mask_k = inputs.mask
+    if pm_on:
+        repaired = _propogate_mask_repair(
+            old, state.prev_mask, inputs.flow, inputs.mask, params
+        )
+        mask_k = jnp.where(first, inputs.mask, repaired)
+
     tracker = track_frame(
         old,
         gray,
         inputs.depth,
         inputs.flow,
-        inputs.mask,
+        mask_k,
         params,
         first_frame=first,
         prev_gray=state.prev_gray if klt_mode else None,
     )
+
+    # ---- in-loop stereo depth refinement (stereoTrack #1) ----------------
+    # RGBDInstanceFrontendModule.cc:177: KLT-match static features into the
+    # rectified right image and replace their depths with triangulated
+    # stereo depth before the camera solve.
+    has_right = params.use_stereo_track and inputs.right is not None
+    if has_right:
+        from dynosam_tpu.cv import stereo as stereo_mod
+
+        right_gray = _to_gray(inputs.right)
+        tp = params.tracker
+
+        def _stereo_refresh(trk):
+            depth_st, _, ok = stereo_mod.stereo_track(
+                gray,
+                right_gray,
+                trk.s_uv,
+                trk.s_valid,
+                intr.fx,
+                intr.baseline,
+                levels=tp.klt_levels,
+                half=max(tp.klt_window_half, 3),
+                iters=tp.klt_iterations,
+                min_eig=tp.klt_min_eig,
+                fb_threshold=tp.klt_fb_threshold,
+            )
+            return trk.replace(
+                s_depth=jnp.where(ok & trk.s_valid, depth_st, trk.s_depth)
+            )
+
+        tracker = _stereo_refresh(tracker)
 
     key, k_cam, k_obj = jax.random.split(state.key, 3)
 
@@ -187,10 +275,22 @@ def frontend_step(
             s_uv=jnp.where(upd[:, None], uv_ref, tracker.s_uv),
             s_depth=jnp.where(upd, depth_ref, tracker.s_depth),
         )
+        # stereoTrack #2 (RGBDInstanceFrontendModule.cc:188-197): the joint
+        # refinement moved the keypoints — re-match L->R at the refined
+        # positions ("wow this seems to make a pretty big difference")
+        if has_right:
+            tracker = _stereo_refresh(tracker)
 
     # ---- object motions -----------------------------------------------------
     d_match = (
         old.d_valid & tracker.d_valid & (old.d_tid == tracker.d_tid) & (~first)
+    )
+    # per-object matched-correspondence count: objects with fewer than
+    # min_object_points tracks are dropped from the output packet (the
+    # reference culls small/degenerate objects before the backend sees them)
+    obj_match_count = jnp.sum(
+        d_match[None, :] & (tracker.d_oid[None, :] == tracker.obj_ids[:, None]),
+        axis=1,
     )
     pts_cam_prev_d = cam.backproject(old.d_uv, old.d_depth, intr)
     pts_world_prev_d = lie.transform_points(state.X_prev, pts_cam_prev_d)
@@ -296,7 +396,9 @@ def frontend_step(
         ),
         object_ids=tracker.obj_ids,
         object_motions=obj_motions,
-        object_valid=obj_res.valid & (tracker.obj_ids > 0),
+        object_valid=obj_res.valid
+        & (tracker.obj_ids > 0)
+        & (obj_match_count >= params.min_object_points),
         pose_valid=cam_res.valid | first,
     )
 
@@ -319,6 +421,7 @@ def frontend_step(
         frame_idx=state.frame_idx + 1,
         key=key,
         prev_gray=gray.astype(state.prev_gray.dtype) if klt_mode else state.prev_gray,
+        prev_mask=mask_k.astype(jnp.int32) if pm_on else state.prev_mask,
         v_world=v_new,
     )
     return new_state, packet

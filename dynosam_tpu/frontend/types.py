@@ -101,6 +101,10 @@ class FrameInputs:
     # None when the dataset has no IMU (the pytree simply lacks the leaves).
     imu_samples: jnp.ndarray = None
     imu_valid: jnp.ndarray = None
+    # optional rectified right image (H, W[, 3]) — enables the in-loop
+    # sparse stereoTrack depth refinement (the reference's ImageContainer
+    # RightRgb key / has_stereo path)
+    right: jnp.ndarray = None
 
 
 @flax.struct.dataclass
