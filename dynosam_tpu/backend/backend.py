@@ -58,6 +58,15 @@ class RegularBackend:
         # object_id -> (4,4) pose, propagated L_k = H_k L_{k-1}.
         self.object_poses: Dict[int, np.ndarray] = {}
         self._step_count = 0
+        # Marginalization-time ("mature") estimates for windowed modes: a
+        # fixed-lag smoother's estimate of frame k is final when k leaves the
+        # window — that is the value a fixed-lag system reports (the
+        # reference's SlidingWindowOptimization logs after the window solve,
+        # not at first ingestion). pose: frame_id -> (4,4);
+        # motion/objpose: (frame_id, object_id) -> (4,4).
+        self.matured_pose: Dict[int, np.ndarray] = {}
+        self.matured_motion: Dict[tuple, np.ndarray] = {}
+        self.matured_objpose: Dict[tuple, np.ndarray] = {}
 
         mode_cfg = cfg
         if cfg.optimization_mode == 2:  # incremental: few warm-started GN iters
@@ -104,6 +113,7 @@ class RegularBackend:
         )
         self._jit_advance = jax.jit(lambda st: advance_fn(st, cfg))
         self._jit_outputs = jax.jit(self._device_outputs)
+        self._jit_margin = jax.jit(self._device_margin_outputs)
 
     # ------------------------------------------------------------------
     def step(self, packet: VisionPacket, optimize: Optional[bool] = None) -> BackendOutput:
@@ -123,6 +133,9 @@ class RegularBackend:
                 raise RuntimeError(
                     "FULL_BATCH window capacity exceeded; raise max_frames"
                 )
+            # capture the departing frame's smoothed (mature) estimate before
+            # marginalisation drops it
+            self._stash_matured(self._jit_margin(self.state))
             self.state = self._jit_advance(self.state)
 
         self.state = self._jit_update(self.state, packet)
@@ -139,6 +152,102 @@ class RegularBackend:
     def finish(self) -> None:
         """Full-batch final solve (reference: updateBatch at last frame)."""
         self.state = self._jit_optimize(self.state)
+
+    # ------------------------------------------------------------------
+    def _motion_slot_outputs(self, st, f):
+        """Jit-safe (motion (J,4,4), valid (J,), obj pose (J,4,4)) at slot f.
+
+        f2f motions need the f-1 reference, so for hybrid/WCPE the motion of
+        slot f's frame is last formable while slot f-1 is still in the window.
+        """
+        fprev = jnp.maximum(f - 1, 0)
+        if self.wcpe:
+            from dynosam_tpu.backend import wcpe as wcpe_mod
+
+            H_m = wcpe_mod.f2f_motion(st, f)
+            valid = st.H_valid[:, f] & st.H_valid[:, fprev] & (f > 0)
+            L = st.H[:, f]
+        elif self.hybrid:
+            H_m = hybrid.f2f_motion(st, f)
+            valid = (
+                st.H_valid[:, f]
+                & (st.H_valid[:, fprev] | (st.kf_slot == fprev))
+                & (f > 0)
+            )
+            L = hybrid.object_pose(st, f)
+        else:
+            H_m = st.H[:, f]
+            valid = st.H_valid[:, f]
+            L = jnp.broadcast_to(jnp.eye(4, dtype=st.X.dtype), (st.J, 4, 4))
+        return H_m, valid, L
+
+    def _device_margin_outputs(self, st):
+        """Mature estimates extracted just before a window advance drops
+        slot 0: the pose of slot 0's frame (final — never re-optimized) and
+        the object motions of the oldest slot still able to form them
+        (slot 1 for hybrid/WCPE f2f chains, slot 0 for WCME's per-frame
+        motion variables)."""
+        f_m = jnp.asarray(0 if not (self.hybrid or self.wcpe) else 1, jnp.int32)
+        H_m, valid, L = self._motion_slot_outputs(st, f_m)
+        return dict(
+            pose_fid=st.frame_ids[0],
+            X=st.X[0],
+            motion_fid=st.frame_ids[f_m],
+            H=H_m,
+            H_valid=valid,
+            obj_pose=L,
+            obj_ids=st.obj_ids,
+        )
+
+    def _stash_matured(self, rec):
+        rec = jax.tree.map(np.asarray, rec)
+        pfid = int(rec["pose_fid"])
+        if pfid >= 0:
+            self.matured_pose[pfid] = rec["X"]
+        mfid = int(rec["motion_fid"])
+        if mfid >= 0:
+            for j, oid in enumerate(rec["obj_ids"]):
+                oid = int(oid)
+                if oid > 0 and bool(rec["H_valid"][j]):
+                    self.matured_motion[(mfid, oid)] = rec["H"][j]
+                    self.matured_objpose[(mfid, oid)] = rec["obj_pose"][j]
+
+    def finalize_matured(self) -> None:
+        """Record mature estimates for frames still in the window (called at
+        sequence end, after the final solve): every in-window pose, and the
+        motions of every slot that can still form one. Together with the
+        per-advance stashes this yields exactly one mature estimate per
+        frame — the fixed-lag output contract."""
+        st = self.state
+        n = int(st.num_frames)
+        if n == 0:
+            return
+        ids = np.asarray(st.frame_ids)
+        X = np.asarray(st.X)
+        for f in range(n):
+            if ids[f] >= 0:
+                self.matured_pose[int(ids[f])] = X[f]
+        f0 = 0 if not (self.hybrid or self.wcpe) else 1
+        obj_ids = np.asarray(st.obj_ids)
+        for f in range(f0, n):
+            H_m, valid, L = jax.tree.map(
+                np.asarray,
+                self._jit_motion_slot(st, jnp.asarray(f, jnp.int32)),
+            )
+            fid = int(ids[f])
+            if fid < 0:
+                continue
+            for j, oid in enumerate(obj_ids):
+                oid = int(oid)
+                if oid > 0 and bool(valid[j]):
+                    self.matured_motion[(fid, oid)] = H_m[j]
+                    self.matured_objpose[(fid, oid)] = L[j]
+
+    @property
+    def _jit_motion_slot(self):
+        if not hasattr(self, "_jit_motion_slot_fn"):
+            self._jit_motion_slot_fn = jax.jit(self._motion_slot_outputs)
+        return self._jit_motion_slot_fn
 
     def marginal_covariances(self):
         """(cov_X (F, 6, 6), cov_H (J, F, 6, 6)) marginals at the current
@@ -261,6 +370,8 @@ class RegularBackend:
 
     # ------------------------------------------------------------------
     def pose_at(self, frame_id: int) -> Optional[np.ndarray]:
+        if frame_id in self.matured_pose:
+            return self.matured_pose[frame_id]
         ids = np.asarray(self.state.frame_ids)
         hits = np.nonzero(ids == frame_id)[0]
         if len(hits) == 0:
@@ -268,6 +379,8 @@ class RegularBackend:
         return np.asarray(self.state.X[int(hits[0])])
 
     def motion_at(self, frame_id: int, object_id: int) -> Optional[np.ndarray]:
+        if (frame_id, object_id) in self.matured_motion:
+            return self.matured_motion[(frame_id, object_id)]
         ids = np.asarray(self.state.frame_ids)
         hits = np.nonzero(ids == frame_id)[0]
         if len(hits) == 0:

@@ -477,7 +477,7 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
     op = cfg.optimizer
     n = 6 * state.F
     D = state.D
-    lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+    lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
     # FLAGS_num_dynamic_optimize (ParallelHybridBackendModule.cc:64,525):
     # iteration budget of the per-object phase; 0 = optimizer default
     obj_iters = cfg.num_dynamic_optimize or op.max_iterations
@@ -487,7 +487,17 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
         z = jax.scipy.linalg.solve_triangular(L, g, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
-    def cam_step(st, _):
+    def _lam_update(ok, lam):
+        # failed-solve recovery (IncrementalOptimization.hpp:277-306): a
+        # non-finite step escalates damping for the retry; success decays it
+        return jnp.where(
+            ok,
+            jnp.maximum(lam / op.lm_lambda_factor, lam0),
+            jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
+        )
+
+    def cam_step(carry, _):
+        st, lam = carry
         lin = linearize(st, cfg, lam, dynamic_scale=0.0)
         dx_x = chol_solve(lin.S[:n, :n], lin.rhs[:n])
         dx = jnp.concatenate(
@@ -495,9 +505,11 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
         )
         cand = _apply_update(st, lin, dx)
         ok = jnp.isfinite(cand.X).all()
-        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st), None
+        st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
+        return (st, _lam_update(ok, lam)), None
 
-    def obj_step(st, _):
+    def obj_step(carry, _):
+        st, lam = carry
         lin = linearize(st, cfg, lam)
         dh = chol_solve(lin.S[n:, n:], lin.rhs[n:])
         dx = jnp.concatenate(
@@ -505,10 +517,15 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
         )
         cand = _apply_update(st, lin, dx)
         ok = jnp.isfinite(cand.H).all()
-        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st), None
+        st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
+        return (st, _lam_update(ok, lam)), None
 
-    state, _ = jax.lax.scan(cam_step, state, None, length=op.max_iterations)
-    state, _ = jax.lax.scan(obj_step, state, None, length=obj_iters)
+    (state, _), _ = jax.lax.scan(
+        cam_step, (state, lam0), None, length=op.max_iterations
+    )
+    (state, _), _ = jax.lax.scan(
+        obj_step, (state, lam0), None, length=obj_iters
+    )
     return state
 
 
@@ -528,16 +545,13 @@ def marginal_covariances(state: GraphState, cfg: BackendParams):
     lin = linearize(state, cfg, jnp.asarray(0.0, state.X.dtype))
     Sigma = jnp.linalg.inv(lin.S)
     n = 6 * F
-    cov_X = jnp.stack(
-        [Sigma[6 * f : 6 * f + 6, 6 * f : 6 * f + 6] for f in range(F)]
-    )
+    # diagonal-block gathers (no Python loops: program size stays J/F-free)
+    fidx = jnp.arange(F)
+    cov_X = Sigma[:n, :n].reshape(F, 6, F, 6)[fidx, :, fidx, :]
     mot = Sigma[n:, n:].reshape(J, F, 6, J, F, 6)
-    cov_H = jnp.stack(
-        [
-            jnp.stack([mot[j, f, :, j, f, :] for f in range(F)])
-            for j in range(J)
-        ]
-    )
+    jj = jnp.arange(J)[:, None].repeat(F, 1)
+    ff = fidx[None, :].repeat(J, 0)
+    cov_H = mot[jj, ff, :, jj, ff, :]
     return cov_X, cov_H
 
 
@@ -552,16 +566,26 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
     if not op.accept_reject:
-        lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+        lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
 
-        def gn_step(st, _):
+        def gn_step(carry, _):
+            st, lam = carry
             lin = linearize(st, cfg, lam)
             cand = _apply_update(st, lin, _clip_step(solve_dx(lin), op.gn_max_step))
+            # failed-solve recovery: escalate damping, don't freeze (see
+            # solver.optimize; reference IncrementalOptimization.hpp:277-306)
             ok = jnp.isfinite(cand.X).all() & jnp.isfinite(cand.H).all()
             st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
-            return st, None
+            lam = jnp.where(
+                ok,
+                jnp.maximum(lam / op.lm_lambda_factor, lam0),
+                jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
+            )
+            return (st, lam), None
 
-        state, _ = jax.lax.scan(gn_step, state, None, length=op.max_iterations)
+        (state, _), _ = jax.lax.scan(
+            gn_step, (state, lam0), None, length=op.max_iterations
+        )
         return state
 
     def step(carry, _):

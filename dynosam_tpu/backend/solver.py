@@ -532,6 +532,19 @@ def _clip_step(dx, max_step):
     return (blocks * scale).reshape(-1)
 
 
+def damping_update(ok, lam, op, lam0):
+    """Failed-solve recovery (reference ErrorHandlingHooks catching
+    IndeterminantLinearSystemException, IncrementalOptimization.hpp:277-306):
+    a non-finite step — NaNs from a non-PD Cholesky included — escalates
+    damping for the retry instead of repeating an identical failing solve;
+    successful steps decay the damping back toward the configured floor."""
+    return jnp.where(
+        ok,
+        jnp.maximum(lam / op.lm_lambda_factor, lam0),
+        jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
+    )
+
+
 def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     """LM (or warm-started damped GN) to approximate convergence. Jittable."""
     op = cfg.optimizer
@@ -543,17 +556,30 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
 
     if not op.accept_reject:
         # plain damped GN (iSAM2-style non-backtracking updates)
-        lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+        lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
 
-        def gn_step(st, _):
+        def gn_step(carry, _):
+            st, lam = carry
             lin = linearize(st, cfg, lam)
             cand = _apply_update(st, lin, _clip_step(solve_dx(lin), op.gn_max_step))
-            # guard: reject non-finite steps (no cost evaluation needed)
+            # Indeterminant-linear-system recovery (reference
+            # IncrementalOptimization.hpp:277-306 ErrorHandlingHooks): a
+            # non-finite step — NaNs from a non-PD Cholesky included —
+            # rejects the update AND escalates damping for the retry,
+            # instead of freezing on an identical failing solve; successful
+            # steps relax the damping back toward the configured floor.
             ok = jnp.isfinite(cand.X).all() & jnp.isfinite(cand.H).all()
             st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
-            return st, None
+            lam = jnp.where(
+                ok,
+                jnp.maximum(lam / op.lm_lambda_factor, lam0),
+                jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
+            )
+            return (st, lam), None
 
-        state, _ = jax.lax.scan(gn_step, state, None, length=op.max_iterations)
+        (state, _), _ = jax.lax.scan(
+            gn_step, (state, lam0), None, length=op.max_iterations
+        )
         return state
 
     def step(carry, _):

@@ -478,16 +478,26 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
     if not op.accept_reject:
-        lam = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
+        lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
 
-        def gn_step(st, _):
+        def gn_step(carry, _):
+            st, lam = carry
             lin = linearize(st, cfg, lam)
             cand = _apply_update(st, lin, _clip_step(solve_dx(lin), op.gn_max_step))
+            # failed-solve recovery: escalate damping, don't freeze (see
+            # solver.optimize; reference IncrementalOptimization.hpp:277-306)
             ok = jnp.isfinite(cand.X).all() & jnp.isfinite(cand.H).all()
             st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
-            return st, None
+            lam = jnp.where(
+                ok,
+                jnp.maximum(lam / op.lm_lambda_factor, lam0),
+                jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
+            )
+            return (st, lam), None
 
-        state, _ = jax.lax.scan(gn_step, state, None, length=op.max_iterations)
+        (state, _), _ = jax.lax.scan(
+            gn_step, (state, lam0), None, length=op.max_iterations
+        )
         return state
 
     def step(carry, _):

@@ -402,6 +402,11 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
     D = state.D
     dtype = state.X.dtype
 
+    # float32 hygiene: M is assembled from many einsum paths whose rounding
+    # differs above/below the diagonal (1-ulp asymmetry at 1e8-scale gauge
+    # entries is enough to break Cholesky downstream) — symmetrize first
+    M = 0.5 * (M + M.T)
+
     dep = np.asarray(_departing_indices(F, J))            # static
     nd = dep.shape[0]
     keep = np.setdiff1d(np.arange(D), dep)
@@ -438,10 +443,21 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
     H_new = lie.mm(lie.mm(P_map, H_marg_keep), P_map.T)
     g_new = P_map @ g_marg_keep
 
-    H_new = H_new + 1e-8 * jnp.eye(D, dtype=dtype)
-    L_low = jnp.linalg.cholesky(H_new)
-    b = jax.scipy.linalg.solve_triangular(L_low, g_new, lower=True)
-    prior_L = L_low.T
+    # PSD-projected square root via eigh (NOT Cholesky): the float32 Schur
+    # complement above suffers catastrophic cancellation when the departing
+    # block carries large-weight information (gauge/odometry chains), leaving
+    # H_marg_keep indefinite at the rounding-noise scale; a Cholesky then
+    # yields NaN and the prior poisons every later solve. Eigendecompose,
+    # clamp the spectrum at a small floor, and zero the gradient along
+    # clamped (information-free or noise-negative) directions — the exact
+    # PSD projection of the marginal quadratic.
+    H_new = 0.5 * (H_new + H_new.T)
+    w_eig, V = jnp.linalg.eigh(H_new)
+    floor = 1e-8 * jnp.maximum(jnp.max(w_eig), 1.0)
+    informative = w_eig > floor
+    w_cl = jnp.where(informative, w_eig, floor)
+    prior_L = jnp.sqrt(w_cl)[:, None] * V.T                # L^T L = H_psd
+    b = jnp.where(informative, (V.T @ g_new) / jnp.sqrt(w_cl), 0.0)
 
     def roll0(x):
         return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
@@ -480,7 +496,29 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
 
 
 def advance_hybrid(state: GraphState, cfg: BackendParams) -> GraphState:
-    """Hybrid-formulation window advance (marginalise + roll). Jittable."""
+    """Hybrid-formulation window advance (marginalise + roll). Jittable.
+
+    Design note — why there is NO keyframe re-anchoring here. The reference
+    re-keyframes per object when an anchor ages out
+    (/root/reference/dynosam/include/dynosam/backend/rgbd/HybridEstimator.hpp:
+    1154-1177 KeyFrameData ranges) because its per-object iSAM2 needs the
+    keyframe VARIABLE in the active graph. In this formulation the embedded
+    keyframe pose L_e is a CONSTANT (never optimized) and the per-tracklet
+    points m_L live in its frame, so the observation factors
+    r = X_k^{-1} H_{e,k} L_e m_L - Z_k stay well-defined for arbitrarily old
+    e — the anchor sliding out of the window costs nothing. When kf_slot
+    reaches -1 every in-window H_{e,k} is a free variable and the marginal
+    prior carries their coupling. An explicit re-anchoring reparameterisation
+    (H -> H C, L_e -> H_1 L_e, prior congruence-transformed by Ad(C)) was
+    tried and REJECTED: measured on the 30-frame two-object scenario it
+    compounds rotation error ~1.3x per advance for rotating objects (0.207
+    rad RMS vs 0.003 without), because C = H_{e,1}^{-1} picks up the
+    formulation's free gauge mode (obs Jacobians are zeroed at the kf slot,
+    so smoothing drifts all H jointly while the eliminated points absorb the
+    common factor) and bakes it into the prior at every advance. Known trade
+    of keeping e fixed: the hat(q) lever arm in the H-Jacobian grows with
+    object travel from its first observation; bounded by windowed object
+    lifetimes at the horizons we run (<= a few hundred frames)."""
     M, g = _departing_information_hybrid(state, cfg)
     return _eliminate_and_roll(state, cfg, M, g)
 

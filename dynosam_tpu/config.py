@@ -62,9 +62,15 @@ class TrackerParams:
     # FrontendParams.yaml: tracker_params (capacities are static shapes)
     max_features_per_frame: int = 800          # static feature slots
     min_features_per_frame: int = 200
+    # NOTE (semantics deviation from the reference): track ages are staggered
+    # per slot — slot i expires at max_age + (i % (2*dynamic_feature_age_buffer
+    # + 1)) - dynamic_feature_age_buffer frames, so a cohort of features
+    # detected together does not die on the same frame (the reference avoids
+    # the cohort cliff by incremental detection instead; tracker.py:268-292).
+    # The configured value is therefore the MEAN expiry age, +-buffer frames.
     max_feature_track_age: int = 25
     max_dynamic_features_per_frame: int = 1600 # dynamic slots (all objects)
-    max_dynamic_feature_age: int = 20
+    max_dynamic_feature_age: int = 20          # staggered likewise
     min_distance_btw_tracked_and_detected_static_features: int = 15
     min_distance_btw_tracked_and_detected_dynamic_features: int = 2
     # dynamic keyframing criteria
@@ -124,6 +130,12 @@ class FrontendParams:
     max_object_depth: float = 30.0
     min_object_points: int = 8            # objects with fewer tracks are dropped
     use_propogate_mask: bool = True       # [sic] reference flag spelling
+    # In-loop sparse stereo depth refinement (RGBDInstanceFrontendModule.cc:
+    # 177,188-197): when FrameInputs carry a right image, KLT-match static
+    # features L->R and replace their depths with triangulated stereo depth —
+    # once before the camera solve and again after joint-OF refinement moves
+    # the keypoints.
+    use_stereo_track: bool = True
     use_imu: bool = False                 # consume FrameInputs.imu_samples
     imu: ImuConfig = field(default_factory=ImuConfig)
     tracker: TrackerParams = field(default_factory=TrackerParams)
@@ -143,7 +155,12 @@ class NoiseParams:
     dynamic_point_noise_sigma: float = 0.01
     static_pixel_noise_sigma: float = 1.0
     dynamic_pixel_noise_sigma: float = 3.0
-    initial_pose_prior_sigma: float = 1e-4
+    # gauge stiffness: the reference uses 1e-4 under float64 GTSAM; at
+    # float32 that puts 1e8-scale entries in the information matrix, and the
+    # sliding-window Schur complement then cancels genuine O(10) information
+    # into rounding noise. 1e-2 pins the gauge just as hard in practice
+    # (anchor residual is ~0) while keeping the spectrum float32-safe.
+    initial_pose_prior_sigma: float = 1e-2
     robust_k_huber: float = 1.345
     use_robust_kernel: bool = True
     # Range-dependent measurement noise for 3D point observations: the

@@ -136,14 +136,17 @@ class DynoPipeline:
     def finish(self):
         if self.cfg.backend.optimization_mode == 0:
             self.backend.finish()
-            # refresh trajectory from the final batch solve
-            ids = np.asarray(self.backend.state.frame_ids)
-            X = np.asarray(self.backend.state.X)
-            for i, fid in enumerate(ids):
-                if 0 <= fid < len(self.trajectory):
-                    self.trajectory[fid] = X[i]
-            if self.logger is not None:
-                self._relog_batch()
+        # Mature estimates: full-batch takes everything from the final solve;
+        # windowed modes combine per-advance marginalization-time stashes
+        # (the fixed-lag smoothed value of each departed frame) with the
+        # final window contents.
+        self.backend.finalize_matured()
+        for fid in range(len(self.trajectory)):
+            X = self.backend.pose_at(fid)
+            if X is not None:
+                self.trajectory[fid] = X
+        if self.logger is not None:
+            self._relog_final()
         if self.logger is not None:
             self.logger.close()
             # shutdown dump (PipelineManager.cc:146-147): per-tag timing
@@ -157,12 +160,14 @@ class DynoPipeline:
             with open(os.path.join(out_dir, "statistics_summary.txt"), "w") as f:
                 f.write(Statistics.summary())
 
-    def _relog_batch(self):
-        """Full-batch: rewrite the camera-pose / object-motion / object-pose
-        logs from the FINAL solve. Streamed rows are written before
-        `finish()` optimizes, so without this the batch cells would evaluate
-        pre-optimization estimates (the reference's batch mode logs after
-        updateBatch)."""
+    def _relog_final(self):
+        """Rewrite the camera-pose / object-motion / object-pose logs from
+        the MATURE estimates: the final solve for full-batch (the reference's
+        batch mode logs after updateBatch), and the marginalization-time
+        values for sliding-window/incremental (a fixed-lag smoother's
+        estimate of frame k is the one carrying the full window's
+        information — streamed first-solve rows structurally understate
+        every windowed mode)."""
         self.logger.reset(("camera_pose", "object_motion", "object_pose"))
         L_cur = {}
         for fid, out in enumerate(self.outputs):
@@ -175,9 +180,11 @@ class DynoPipeline:
                     continue
                 H = self.backend.motion_at(fid, object_id=oid)
                 H = np.asarray(H) if H is not None else out.object_motions[j]
+                if (fid, oid) in self.backend.matured_objpose:
+                    L_cur[oid] = self.backend.matured_objpose[(fid, oid)]
                 # re-propagate poses with the final motions from the object's
                 # streamed anchor pose
-                if oid not in L_cur:
+                elif oid not in L_cur:
                     L_cur[oid] = np.asarray(out.object_poses[j])
                 else:
                     L_cur[oid] = H @ L_cur[oid]
