@@ -80,16 +80,15 @@ def bench_config():
     return cfg, intr
 
 
-def build():
+def make_frames(intr, num_frames=DISTINCT_FRAMES):
+    """The benchmark's synthetic KITTI-scale frame set (device-resident)."""
     import jax
 
     from dynosam_tpu.dataproviders.simulator import ObjectSpec, ScenarioSpec
     from dynosam_tpu.dataproviders.synthetic_dense import DenseScenario
-    from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
 
-    cfg, intr = bench_config()
     spec = ScenarioSpec(
-        num_frames=DISTINCT_FRAMES,
+        num_frames=num_frames,
         num_static=0,
         camera_motion_xi=np.array([0.0, 0.004, 0.0, 0.0, 0.0, 0.8]),
         objects=[
@@ -114,8 +113,16 @@ def build():
         ],
     )
     dense = DenseScenario(spec, intr, ground_y=1.6, far_depth=60.0, object_half_extent=1.6)
+    return [jax.device_put(dense.frame(k)) for k in range(num_frames)]
 
-    frames = [jax.device_put(dense.frame(k)) for k in range(DISTINCT_FRAMES)]
+
+def build():
+    import jax
+
+    from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
+
+    cfg, intr = bench_config()
+    frames = make_frames(intr)
     # donate the state: the (~30 MB) pipeline state is consumed and rebuilt
     # every step — donation makes the update in-place in HBM
     step = jax.jit(make_fused_step(cfg, intr), donate_argnums=0)

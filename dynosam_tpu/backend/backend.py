@@ -133,10 +133,18 @@ class RegularBackend:
                 raise RuntimeError(
                     "FULL_BATCH window capacity exceeded; raise max_frames"
                 )
-            # capture the departing frame's smoothed (mature) estimate before
-            # marginalisation drops it
-            self._stash_matured(self._jit_margin(self.state))
-            self.state = self._jit_advance(self.state)
+            # Advance stride (reference FLAGS_opt_window_overlap,
+            # RegularBackendModule.cc:240): slide so `overlap` frames stay
+            # shared between consecutive full windows; -1 = slide by one.
+            # Each slide stashes the departing frame's smoothed (mature)
+            # estimate before marginalisation drops it.
+            if cfg.opt_window_overlap < 0:
+                stride = 1
+            else:
+                stride = max(1, cfg.max_frames - 1 - cfg.opt_window_overlap)
+            for _ in range(stride):
+                self._stash_matured(self._jit_margin(self.state))
+                self.state = self._jit_advance(self.state)
 
         self.state = self._jit_update(self.state, packet)
 

@@ -588,27 +588,11 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
         )
         return state
 
-    def step(carry, _):
-        st, lam, err = carry
-        lin = linearize(st, cfg, lam)
-        cand = _apply_update(st, lin, solve_dx(lin))
-        new_err = total_error(cand, cfg)
-        accept = (new_err < err) & jnp.isfinite(new_err)
-        st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, st)
-        err = jnp.where(accept, new_err, err)
-        lam = jnp.where(
-            accept,
-            jnp.maximum(lam / op.lm_lambda_factor, op.lm_min_lambda),
-            jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
-        )
-        return (st, lam, err), err
+    from dynosam_tpu.backend.solver import lm_accept_reject
 
-    err0 = total_error(state, cfg)
-    lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
-    (state, _, _), _ = jax.lax.scan(
-        step, (state, lam0, err0), None, length=op.max_iterations
+    return lm_accept_reject(
+        state, cfg, linearize, _apply_update, solve_dx, total_error
     )
-    return state
 
 
 # ---------------------------------------------------------------------------

@@ -582,24 +582,48 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
         )
         return state
 
+    return lm_accept_reject(
+        state, cfg, linearize, _apply_update, solve_dx, total_error
+    )
+
+
+def lm_accept_reject(state, cfg, linearize_fn, apply_fn, solve_fn, error_fn):
+    """Shared accept/reject LM scan (all three formulations).
+
+    GTSAM checkConvergence parity (the NonlinearOptimizer criteria the
+    reference's LM/iSAM2 run under): iteration stops once the error decrease
+    falls below absolute_error_tol or relative_error_tol * err. The scan stays
+    fixed-length (static program); converged iterations are masked no-ops via
+    the `done` flag, so convergence costs nothing to detect on TPU."""
+    op = cfg.optimizer
+
     def step(carry, _):
-        st, lam, err = carry
-        lin = linearize(st, cfg, lam)
-        cand = _apply_update(st, lin, solve_dx(lin))
-        new_err = total_error(cand, cfg)
-        accept = (new_err < err) & jnp.isfinite(new_err)
+        st, lam, err, done = carry
+        lin = linearize_fn(st, cfg, lam)
+        cand = apply_fn(st, lin, solve_fn(lin))
+        new_err = error_fn(cand, cfg)
+        accept = (new_err < err) & jnp.isfinite(new_err) & ~done
         st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, st)
+        decrease = err - new_err
+        done = done | (
+            accept
+            & (
+                (decrease < op.absolute_error_tol)
+                | (decrease < op.relative_error_tol * err)
+            )
+        )
         err = jnp.where(accept, new_err, err)
         lam = jnp.where(
             accept,
             jnp.maximum(lam / op.lm_lambda_factor, op.lm_min_lambda),
             jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
         )
-        return (st, lam, err), err
+        return (st, lam, err, done), err
 
-    err0 = total_error(state, cfg)
+    err0 = error_fn(state, cfg)
     lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
-    (state, _, _), _ = jax.lax.scan(
-        step, (state, lam0, err0), None, length=op.max_iterations
+    (state, _, _, _), _ = jax.lax.scan(
+        step, (state, lam0, err0, jnp.array(False)), None,
+        length=op.max_iterations,
     )
     return state

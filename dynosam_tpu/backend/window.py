@@ -288,7 +288,7 @@ def _departing_information_hybrid(state: GraphState, cfg: BackendParams):
     # Hessian (diagonal 3x3 blocks, same quantity the solver's Schur uses)
     # and inflate each slot-0 observation's noise:
     #   C_l = diag(sigma_l^2) + J_m Sigma_m J_m^T,   W_l = C_l^{-1}.
-    if getattr(cfg, "marginal_point_uncertainty", True):
+    if cfg.marginal_point_uncertainty:
         from dynosam_tpu.ops import block_tridiag as bt
 
         iw_full = mask.astype(dtype)[..., None] / (state.d_sig ** 2)
@@ -414,6 +414,16 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
     P_r = jnp.zeros((D - nd, D), dtype).at[jnp.arange(D - nd), keep].set(1.0)
 
     M_d_rows = lie.mm(P_d, M)                             # (nd, D)
+    # Jittered-Cholesky elimination of the departing block. A spectrum-
+    # clamped pseudo-inverse (zeroing near-null directions of M_dd) was
+    # tried for rank-deficient departures and REVERTED: on HEALTHY streams
+    # it quadrupled the camera drift (3.9 -> 15.5 cm on the 8-frame
+    # simulator A/B) — directions between the clamp floor and genuine
+    # information get their Schur correction amplified by up to 1/floor,
+    # and dropping sub-floor directions leaves the kept blocks
+    # over-confident. The small absolute jitter is statistically benign
+    # (slightly UNDER-confident prior) and the degenerate-object stream
+    # stays within 2.5 cm of the healthy one (tests/test_degenerate.py).
     M_dd = lie.mm(M_d_rows, P_d.T) + _EPS_REG * jnp.eye(nd, dtype=dtype)
     M_dr = lie.mm(M_d_rows, P_r.T)                        # (nd, D-nd)
     M_rr = lie.mm(lie.mm(P_r, M), P_r.T)
@@ -443,21 +453,39 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
     H_new = lie.mm(lie.mm(P_map, H_marg_keep), P_map.T)
     g_new = P_map @ g_marg_keep
 
-    # PSD-projected square root via eigh (NOT Cholesky): the float32 Schur
-    # complement above suffers catastrophic cancellation when the departing
-    # block carries large-weight information (gauge/odometry chains), leaving
-    # H_marg_keep indefinite at the rounding-noise scale; a Cholesky then
-    # yields NaN and the prior poisons every later solve. Eigendecompose,
-    # clamp the spectrum at a small floor, and zero the gradient along
-    # clamped (information-free or noise-negative) directions — the exact
-    # PSD projection of the marginal quadratic.
+    # Float32-safe prior square root. The float32 Schur complement above can
+    # suffer catastrophic cancellation when the departing block carries
+    # large-weight information (gauge/odometry chains), leaving H_marg_keep
+    # slightly indefinite; a plain Cholesky then yields NaN and the prior
+    # poisons every later solve (round 2's frozen streamed backend). Fast
+    # path: UNJITTERED Cholesky — when it succeeds the prior is exact. (A
+    # jittered fast path was tried and REVERTED: jitter scaled to the max
+    # diagonal is up to ~100% spurious information on the weakly-informed
+    # directions, anchoring them at the current rolled estimate; the bias
+    # compounds per advance into a deterministic, optimizer-independent
+    # drift — caught by the healthy-stream A/B behind
+    # tests/test_degenerate.py.) Rare path: if Cholesky fails, lax.cond runs
+    # the exact PSD-projected eigendecomposition (spectrum clamped at a
+    # floor, gradient zeroed along clamped directions). cond executes only
+    # the taken branch, so the O(D^3) eigh costs nothing on healthy advances.
     H_new = 0.5 * (H_new + H_new.T)
-    w_eig, V = jnp.linalg.eigh(H_new)
-    floor = 1e-8 * jnp.maximum(jnp.max(w_eig), 1.0)
-    informative = w_eig > floor
-    w_cl = jnp.where(informative, w_eig, floor)
-    prior_L = jnp.sqrt(w_cl)[:, None] * V.T                # L^T L = H_psd
-    b = jnp.where(informative, (V.T @ g_new) / jnp.sqrt(w_cl), 0.0)
+    L0 = jnp.linalg.cholesky(H_new)
+    chol_ok = jnp.isfinite(L0).all()
+
+    def _chol_sqrt(_):
+        b0 = jax.scipy.linalg.solve_triangular(L0, g_new, lower=True)
+        return jnp.swapaxes(L0, -1, -2), b0
+
+    def _eigh_sqrt(_):
+        w_eig, V = jnp.linalg.eigh(H_new)
+        floor = 1e-8 * jnp.maximum(jnp.max(w_eig), 1.0)
+        informative = w_eig > floor
+        w_cl = jnp.where(informative, w_eig, floor)
+        Lp = jnp.sqrt(w_cl)[:, None] * V.T                 # L^T L = H_psd
+        bp = jnp.where(informative, (V.T @ g_new) / jnp.sqrt(w_cl), 0.0)
+        return Lp, bp
+
+    prior_L, b = jax.lax.cond(chol_ok, _chol_sqrt, _eigh_sqrt, operand=None)
 
     def roll0(x):
         return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)

@@ -23,12 +23,27 @@ from typing import Any, Dict, Optional
 class RansacParams:
     # FrontendParams.yaml: camera_motion_solver / object_motion_solver
     ransac_threshold_pnp: float = 1.0    # pixels of reprojection error
-    ransac_iterations: int = 500         # fixed hypothesis count on TPU
-    ransac_probability: float = 0.995    # kept for parity; iterations are static
+    ransac_iterations: int = 500         # max hypothesis count (static on TPU)
+    ransac_probability: float = 0.995    # success probability (sets the count)
     optimize_pose_from_inliers: bool = True
     min_inliers: int = 5
     # 3d-3d (Arun/Kabsch) threshold in meters, used when PnP disabled.
     ransac_threshold_3d: float = 0.3
+
+    def num_hypotheses(self, sample_size: int = 3,
+                       worst_inlier_ratio: float = 0.2) -> int:
+        """Static TPU hypothesis count from the reference's adaptive-RANSAC
+        termination rule N = log(1-p) / log(1 - w^s) (OpenGV `Ransac`,
+        probability_ + max_iterations_), evaluated at a conservative
+        worst-case inlier ratio and capped by ransac_iterations — the fixed
+        trace-time equivalent of "iterate until confidence p, at most
+        max_iterations"."""
+        import math
+
+        p = min(max(self.ransac_probability, 1e-6), 1 - 1e-9)
+        w = worst_inlier_ratio ** sample_size
+        required = math.ceil(math.log(1.0 - p) / math.log(1.0 - w))
+        return max(1, min(self.ransac_iterations, required))
 
 
 @dataclass
@@ -124,8 +139,13 @@ class ImuConfig:
 
 @dataclass
 class FrontendParams:
-    scene_flow_mag_threshold: float = 0.12
-    scene_flow_dist_threshold: float = 0.5
+    # Scene-flow stationarity test (reference FrontendParams.hpp:45-46,
+    # VisionTools determineDynamicObjects): an object where more than
+    # scene_flow_percentage of matched points have world-frame scene-flow
+    # magnitude below scene_flow_magnitude is NOT moving this frame — its
+    # motion output is invalidated (the backend then treats it as static).
+    scene_flow_magnitude: float = 0.12
+    scene_flow_percentage: float = 0.5
     max_background_depth: float = 200.0
     max_object_depth: float = 30.0
     min_object_points: int = 8            # objects with fewer tracks are dropped
@@ -194,11 +214,14 @@ class OptimizerParams:
     lm_lambda_factor: float = 10.0
     lm_min_lambda: float = 1e-9
     lm_max_lambda: float = 1e6
+    # GTSAM checkConvergence parity: accept/reject LM freezes once the error
+    # decrease drops below absolute_error_tol or relative_error_tol * err
+    # (solver.lm_accept_reject; the scan stays fixed-length on TPU).
     relative_error_tol: float = 1e-6
     absolute_error_tol: float = 1e-6
-    pcg_iterations: int = 64
-    pcg_tol: float = 1e-8
-    use_pcg: bool = False                 # dense Cholesky by default (small reduced systems)
+    # NB: no PCG path — the Schur-reduced systems here are 6F+6JF <= ~3k
+    # dense variables, where one MXU Cholesky beats an iterative solve; see
+    # solver.py. (Earlier placeholder pcg_* knobs removed.)
 
 
 @dataclass
@@ -223,7 +246,14 @@ class BackendParams:
     # behaviour, over-confident priors).
     marginal_point_uncertainty: bool = True
     opt_window_size: int = 10
-    opt_window_overlap: int = 4
+    # Sliding-window advance stride (reference FLAGS_opt_window_overlap,
+    # RegularBackendModule.cc:51,240): when the window fills, it slides by
+    # (max_frames - 1 - opt_window_overlap) + 1 slots, keeping `overlap`
+    # frames shared between consecutive solves. -1 (default) = maximum
+    # overlap, i.e. slide by one frame per step — the smoothest (and most
+    # accurate) cadence; the reference default 4 trades accuracy for fewer
+    # marginalisations.
+    opt_window_overlap: int = -1
     use_vo_factor: bool = True
     use_smoothing_factor: bool = True
     min_static_observations: int = 2
@@ -249,8 +279,6 @@ class BackendParams:
 class PipelineParams:
     parallel_run: bool = True
     data_provider_prefetch: int = 2
-    frontend_dtype: str = "float32"
-    backend_dtype: str = "float32"
 
 
 @dataclass

@@ -44,11 +44,13 @@ class DenseScenario:
         far_depth: float = 40.0,
         object_half_extent: float = 1.2,
         world_texture: bool = False,
+        object_texture: bool = False,
     ):
         assert intr.width > 0 and intr.height > 0
         self.scn = Scenario(spec, intr)
         self.intr = intr
         self.world_texture = world_texture
+        self.object_texture = object_texture
         self.ground_y = ground_y
         self.far_depth = far_depth
         self.obj_e = object_half_extent
@@ -196,6 +198,22 @@ class DenseScenario:
             + 0.45 * att(0.8) * jnp.sin(0.55 * x + 0.62 * y) * jnp.sin(0.48 * z + 1.1)
         )
         g = jnp.clip(0.5 + 0.24 * g, 0.0, 1.0)
+        if self.object_texture:
+            # Opt-in appearance cue for the detector-training pipeline
+            # (scripts/train_detector.py): objects get a distinct texture
+            # signature — a per-object intensity bias + a higher-frequency
+            # body-frame check pattern — so "object vs background" is
+            # learnable from appearance, as it is on real imagery. Off by
+            # default: accuracy/KLT tests rely on the statistically uniform
+            # texture (no appearance-driven detection shortcuts).
+            for j, oid in enumerate(self.scn.object_ids):
+                on = mask == oid
+                p_L = lie.transform_points(lie.inverse(L_stack[j]), pts_w)
+                chk = 0.20 * jnp.sin(17.0 * p_L[..., 0] + 2.1 * j) * jnp.sin(
+                    15.0 * p_L[..., 1] + 1.3 * j
+                )
+                bias = 0.14 * (1.0 if j % 2 == 0 else -1.0)
+                g = jnp.where(on, jnp.clip(g + bias + chk, 0.0, 1.0), g)
         return jnp.stack([g, g, g], axis=-1)
 
     # ------------------------------------------------------------------

@@ -297,6 +297,22 @@ def frontend_step(
     pts_cam_k_d = cam.backproject(tracker.d_uv, tracker.d_depth, intr)
     pts_world_k_d = lie.transform_points(X_k, pts_cam_k_d)
 
+    # scene-flow stationarity test (FrontendParams.hpp:45-46, VisionTools
+    # determineDynamicObjects): with the solved X_k, the world-frame scene
+    # flow of a matched dynamic point is its residual motion after camera
+    # compensation; an object where > scene_flow_percentage of points barely
+    # move (< scene_flow_magnitude) is not moving this frame, and its motion
+    # output is invalidated
+    sf_mag = jnp.linalg.norm(pts_world_k_d - pts_world_prev_d, axis=-1)
+    low_sf = d_match & (sf_mag < params.scene_flow_magnitude)
+    obj_low_count = jnp.sum(
+        low_sf[None, :] & (tracker.d_oid[None, :] == tracker.obj_ids[:, None]),
+        axis=1,
+    )
+    obj_stationary = (obj_match_count > 0) & (
+        obj_low_count > params.scene_flow_percentage * obj_match_count
+    )
+
     obj_res = motion.solve_all_object_motions(
         k_obj,
         tracker.obj_ids,
@@ -398,7 +414,8 @@ def frontend_step(
         object_motions=obj_motions,
         object_valid=obj_res.valid
         & (tracker.obj_ids > 0)
-        & (obj_match_count >= params.min_object_points),
+        & (obj_match_count >= params.min_object_points)
+        & ~obj_stationary,
         pose_valid=cam_res.valid | first,
     )
 

@@ -105,10 +105,24 @@ def solve_camera_pose(
             )
             return lie.make_pose(R_known, t)
 
-    def residual_fn(T_cw, d):
-        # squared pixel error (elementwise-fused); threshold is squared below
-        sq, _ = _project_sq_err(T_cw, d["p_w"], d["uv"], intr)
-        return sq
+    # use_ego_motion_pnp (reference FrontendParams.cc:57,
+    # RGBDInstanceFrontendModule.cc:294-303): True scores/refines in pixel
+    # space (3D2D PnP, geometricOutlierRejection3d2d); False scores/refines
+    # on 3D point alignment (3D3D Arun/Kabsch — the path the reference
+    # declares but never shipped; here it is a tested first-class mode).
+    use_pnp = params.use_ego_motion_pnp
+
+    if use_pnp:
+        def residual_fn(T_cw, d):
+            # squared pixel error (elementwise-fused); threshold squared below
+            sq, _ = _project_sq_err(T_cw, d["p_w"], d["uv"], intr)
+            return sq
+        threshold = rp.ransac_threshold_pnp ** 2
+    else:
+        def residual_fn(T_cw, d):
+            diff = lie.transform_points(T_cw, d["p_w"]) - d["p_c"]
+            return jnp.sum(diff * diff, axis=-1)
+        threshold = rp.ransac_threshold_3d ** 2
 
     def refit_fn(d, w, model):
         # Horn quaternion refit warm-started at the current model (no SVD)
@@ -122,27 +136,37 @@ def solve_camera_pose(
         residual_fn,
         data,
         valid,
-        num_hypotheses=rp.ransac_iterations,
+        num_hypotheses=rp.num_hypotheses(),
         sample_size=3,
-        threshold=rp.ransac_threshold_pnp**2,
+        threshold=threshold,
         min_inliers=rp.min_inliers,
         refit_fn=refit_fn,
-        refit_rounds=params.refit_rounds,
+        # optimize_pose_from_inliers=False returns the raw RANSAC winner
+        # (reference OpenGV-style toggle): no inlier refit, no GN polish
+        refit_rounds=params.refit_rounds if rp.optimize_pose_from_inliers else 0,
     )
 
     T_cw = res.model
 
-    def gn_residual(T):
-        uv_pred = cam.project(lie.transform_points(T, pts_world), intr)
-        return uv_pred - uv_k
+    if use_pnp:
+        def gn_residual(T):
+            uv_pred = cam.project(lie.transform_points(T, pts_world), intr)
+            return uv_pred - uv_k
+        k_huber = params.joint_of_k_huber * intr.fx  # huber in pixels
+    else:
+        def gn_residual(T):
+            return lie.transform_points(T, pts_world) - pts_cam_k
+        k_huber = rp.ransac_threshold_3d             # huber in meters
 
     w0 = res.inliers.astype(pts_world.dtype)
     T_cw, w = gauss_newton.refine_pose(
         gn_residual,
         T_cw,
         w0,
-        iterations=params.refinement_iterations,
-        k_huber=params.joint_of_k_huber * intr.fx,  # huber in pixels
+        iterations=params.refinement_iterations
+        if rp.optimize_pose_from_inliers
+        else 0,
+        k_huber=k_huber,
     )
 
     X = lie.inverse(T_cw)
@@ -192,13 +216,23 @@ def solve_object_motion(
         dz = (z_pred - z_obs) * intr.fx / jnp.clip(z_obs, 1e-3, None)
         return jnp.concatenate([uv_pred - uv_obs, dz[..., None]], axis=-1)
 
-    def residual_fn(H, d):
-        # squared (reprojection + pixel-equivalent depth) error, elementwise
-        T = lie.compose(T_cam_world, H)
-        sq, mz = _project_sq_err(T, d["p_prev"], d["uv"], intr)
-        zk = d["z_k"]
-        dz = (mz - zk) * intr.fx / jnp.clip(zk, 1e-3, None)
-        return sq + dz * dz
+    # use_object_motion_pnp (reference FrontendParams.cc:58): True scores in
+    # pixel space (reprojection + virtual-stereo depth, the 3D2D path);
+    # False scores on 3D point-pair alignment (3D3D).
+    if params.use_object_motion_pnp:
+        def residual_fn(H, d):
+            # squared (reprojection + pixel-equivalent depth), elementwise
+            T = lie.compose(T_cam_world, H)
+            sq, mz = _project_sq_err(T, d["p_prev"], d["uv"], intr)
+            zk = d["z_k"]
+            dz = (mz - zk) * intr.fx / jnp.clip(zk, 1e-3, None)
+            return sq + dz * dz
+        threshold = rp.ransac_threshold_pnp ** 2
+    else:
+        def residual_fn(H, d):
+            diff = lie.transform_points(H, d["p_prev"]) - d["p_k"]
+            return jnp.sum(diff * diff, axis=-1)
+        threshold = rp.ransac_threshold_3d ** 2
 
     def refit_fn(d, w, model):
         return kabsch.solve_rigid_quat(
@@ -212,26 +246,55 @@ def solve_object_motion(
         residual_fn,
         data,
         valid,
-        num_hypotheses=rp.ransac_iterations,
+        num_hypotheses=rp.num_hypotheses(),
         sample_size=3,
-        threshold=rp.ransac_threshold_pnp**2,
+        threshold=threshold,
         min_inliers=rp.min_inliers,
         refit_fn=refit_fn,
-        refit_rounds=params.refit_rounds,
+        # optimize_pose_from_inliers=False returns the raw RANSAC winner
+        # (reference OpenGV-style toggle): no inlier refit, no GN polish
+        refit_rounds=params.refit_rounds if rp.optimize_pose_from_inliers else 0,
     )
 
     H = res.model
+    inlier_w = res.inliers.astype(pts_world_prev.dtype)
 
-    def gn_residual(Hx):
-        return _uv_z_residual(Hx, pts_world_prev, uv_k, z_k)
+    if params.use_object_motion_pnp:
+        def gn_residual(Hx):
+            return _uv_z_residual(Hx, pts_world_prev, uv_k, z_k)
+        k_huber = params.joint_of_k_huber * intr.fx
+    else:
+        def gn_residual(Hx):
+            return lie.transform_points(Hx, pts_world_prev) - pts_world_k
+        k_huber = rp.ransac_threshold_3d
 
     H, _ = gauss_newton.refine_pose(
         gn_residual,
         H,
-        res.inliers.astype(pts_world_prev.dtype),
-        iterations=params.object_refinement_iterations,
-        k_huber=params.joint_of_k_huber * intr.fx,
+        inlier_w,
+        iterations=params.object_refinement_iterations
+        if rp.optimize_pose_from_inliers
+        else 0,
+        k_huber=k_huber,
     )
+
+    if params.refine_motion_with_3d:
+        # MotionOnlyRefinementOptimizer parity (reference MotionSolver.cc:700
+        # behind refine_motion_with_3d): an extra motion-only GN pass on the
+        # 3D point-pair residual H p_{k-1} - p_k with a tight Huber
+        # (motion_3d_k_huber, meters) — tightens the translation using the
+        # full depth information after the image-space solve.
+        def residual_3d(Hx):
+            return lie.transform_points(Hx, pts_world_prev) - pts_world_k
+
+        H, _ = gauss_newton.refine_pose(
+            residual_3d,
+            H,
+            inlier_w,
+            iterations=params.object_refinement_iterations,
+            k_huber=params.motion_3d_k_huber,
+        )
+
     H = jnp.where(res.valid, H, jnp.eye(4, dtype=H.dtype))
     return MotionSolveResult(
         pose=H, inliers=res.inliers, num_inliers=res.num_inliers, valid=res.valid

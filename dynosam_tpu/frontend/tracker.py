@@ -338,6 +338,19 @@ def track_frame(
         & away_from_boundaries(cand_uv, cand_label)
         & in_bounds(cand_uv)
     )
+    # min_distance_btw_tracked_and_detected_static_features (reference
+    # FeatureTracker detection suppression radius around EXISTING tracks):
+    # when the configured radius exceeds the ANMS cell (whose occupancy
+    # already enforces `cell`-pixel spacing), suppress candidates sharing a
+    # coarser radius-sized grid cell with a live track — the batched
+    # approximation of a per-track distance test (distance in [0, sqrt(2)r]).
+    sup = tp.min_distance_btw_tracked_and_detected_static_features
+    if sup > cell:
+        sgh, sgw = max(H // sup, 1), max(W // sup, 1)
+        occ_sup = _occupancy(s_uv, s_ok, sup, sgh, sgw).reshape(sgh, sgw)
+        su = jnp.clip((cand_uv[:, 0] // sup).astype(jnp.int32), 0, sgw - 1)
+        sv = jnp.clip((cand_uv[:, 1] // sup).astype(jnp.int32), 0, sgh - 1)
+        cand_ok_s = cand_ok_s & ~occ_sup[sv, su]
     need_static = jnp.sum(s_ok) < tp.min_features_per_frame
     max_new_s = jnp.where(need_static | first_frame, state.s_uv.shape[0], 0)
     assign_s = _fill_free_slots(state.s_tid, s_ok, best, cand_ok_s, max_new_s)

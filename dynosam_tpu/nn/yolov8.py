@@ -28,6 +28,11 @@ import jax.numpy as jnp
 
 SCALES = {
     # depth, width, max_channels
+    # "t" is repo-local (no ultralytics counterpart): a ~0.9M-param variant
+    # for the in-repo synthetic training pipeline (scripts/train_detector.py)
+    # where 80-class COCO capacity is wasted; width 0.125 keeps every layer
+    # MXU-aligned via _make_divisible's 8-multiple rounding.
+    "t": (0.34, 0.125, 1024),
     "n": (0.34, 0.25, 1024),
     "s": (0.34, 0.50, 1024),
     "m": (0.67, 0.75, 768),

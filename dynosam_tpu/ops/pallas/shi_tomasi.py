@@ -73,7 +73,7 @@ def shi_tomasi_response_pallas(gray, tile_h: int = _TILE_H, interpret: bool = Fa
         functools.partial(_kernel, tile_h=tile_h),
         out_shape=jax.ShapeDtypeStruct((H, W), gray.dtype),
         grid=(H // tile_h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile_h, W), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),

@@ -1,0 +1,267 @@
+"""Honest end-to-end perf table + MFU/flops accounting.
+
+The driver bench (bench.py) reports the steady-state device ceiling:
+pre-staged device frames, provided flow/mask, no host I/O. This script adds
+the rows that make the number honest (reference driver configs #2/#4/#5,
+BASELINE.json) and a hardware-utilization lens:
+
+  fused-synth       bench.py's exact path (KITTI-scale synthetic, 384x1280)
+  fused-synth-klt   same, prefer_provided_optical_flow=False — in-loop
+                    pyramidal inverse-compositional KLT + CLAHE
+  detector-on       fused-synth + YOLOv8n-seg engine each frame (the
+                    engine is its own jit, as in DynoPipeline.process_frame)
+  real-io           the committed 60-frame fixture (320x96) through
+                    DynoPipeline.run: disk decode, prefetch thread, logging —
+                    FPS including all host work
+
+FLOPs come from XLA's own cost model (compiled.cost_analysis()), so they
+reflect the program actually executed, not a hand count. MFU is reported
+against TPU v5e-1 bf16 peak (197 TFLOP/s); the pipeline is mostly f32, so
+this is a conservative utilization bound. The headline frame is HBM/latency
+bound, not FLOP bound — MFU quantifies exactly how much MXU headroom the
+8-9 ms frame still has.
+
+Usage: python scripts/bench_table.py [--out BENCH_TABLE.md] [--skip real-io]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PEAK_FLOPS = {
+    # bf16 MXU peak per chip
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _flops(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", float("nan"))) if ca else float("nan")
+
+
+def _device_peak():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if k.lower() in kind.lower():
+            return kind, v
+    return kind, None
+
+
+def time_fused(cfg, intr, frames, warmup=5, measure=30):
+    """(fps, flops/frame) for the fused step under cfg."""
+    import jax
+
+    from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
+
+    step_fn = make_fused_step(cfg, intr)
+    state = init_pipeline_state(cfg)
+    lowered = jax.jit(step_fn, donate_argnums=0).lower(state, frames[0])
+    compiled = lowered.compile()
+    flops = _flops(compiled)
+
+    step = jax.jit(step_fn, donate_argnums=0)
+    n = len(frames)
+    state, out = step(state, frames[0])
+    jax.block_until_ready(out)
+    for i in range(1, warmup):
+        state, out = step(state, frames[i % n])
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for i in range(measure):
+        state, out = step(state, frames[(warmup + i) % n])
+    jax.block_until_ready(out)
+    return measure / (time.time() - t0), flops
+
+
+def row_fused_synth(klt: bool):
+    import dataclasses
+
+    import jax
+
+    import bench
+
+    cfg, intr = bench.bench_config()
+    if klt:
+        cfg = dataclasses.replace(
+            cfg,
+            frontend=dataclasses.replace(
+                cfg.frontend,
+                tracker=dataclasses.replace(
+                    cfg.frontend.tracker, prefer_provided_optical_flow=False
+                ),
+            ),
+        )
+    step, state, frames = None, None, None
+    # reuse bench's scene construction
+    _, _, frames = bench.build() if not klt else bench.build()
+    del step, state
+    frames = [jax.device_put(f) for f in frames]
+    fps, flops = time_fused(cfg, intr, frames)
+    return fps, flops
+
+
+def row_detector_on():
+    """fused-synth plus the YOLOv8n-seg engine per frame (separate jit,
+    exactly DynoPipeline.process_frame's structure)."""
+    import jax
+
+    import bench
+    from dynosam_tpu.nn.detector import YoloV8DetectorEngine
+    from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
+
+    cfg, intr = bench.bench_config()
+    _, _, frames = bench.build()
+    eng = YoloV8DetectorEngine(input_hw=(384, 640))
+
+    det_flops = _flops(
+        jax.jit(eng._run._fun if hasattr(eng._run, "_fun") else eng._run)
+        .lower(eng.params, frames[0].rgb)
+        .compile()
+    )
+
+    step = jax.jit(make_fused_step(cfg, intr), donate_argnums=0)
+    state = init_pipeline_state(cfg)
+    fused_flops = _flops(
+        jax.jit(make_fused_step(cfg, intr)).lower(state, frames[0]).compile()
+    )
+
+    n = len(frames)
+
+    def one(i, state):
+        f = frames[i % n]
+        mask = eng.process(f.rgb)
+        state, out = step(state, f.replace(mask=mask))
+        return state, out
+
+    state, out = one(0, state)
+    jax.block_until_ready(out)
+    for i in range(1, 5):
+        state, out = one(i, state)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    measure = 30
+    for i in range(measure):
+        state, out = one(5 + i, state)
+    jax.block_until_ready(out)
+    fps = measure / (time.time() - t0)
+    return fps, det_flops + fused_flops
+
+
+def row_real_io(fixture="tests/fixtures/kitti_fixture", frames=60):
+    """The committed fixture through DynoPipeline.run: decode + prefetch +
+    logging + mature-estimate stashes — everything the driver bench skips."""
+    import shutil
+    import tempfile
+
+    from dynosam_tpu.config import (
+        BackendParams,
+        DynoConfig,
+        FrontendParams,
+        OptimizerParams,
+        TrackerParams,
+    )
+    from dynosam_tpu.dataproviders.factory import make_provider
+    from dynosam_tpu.pipeline.pipeline import DynoPipeline
+
+    ds = make_provider(0, fixture)
+    cfg = DynoConfig(
+        frontend=FrontendParams(
+            max_objects=8,
+            tracker=TrackerParams(
+                max_features_per_frame=512,
+                min_features_per_frame=200,
+                max_dynamic_features_per_frame=768,
+                detection_cell_size=8,
+                min_corner_response=1e-6,
+            ),
+        ),
+        backend=BackendParams(
+            optimization_mode=2,
+            backend_updater_enum=3,
+            max_frames=8,
+            optimizer=OptimizerParams(max_iterations=2),
+        ),
+    )
+    out_dir = tempfile.mkdtemp(prefix="benchreal_")
+    try:
+        n = min(frames, len(ds))
+        pipe = DynoPipeline(cfg, ds.intrinsics(), output_path=out_dir)
+        # warm the jits on frame 0 outside the timed region (compile time is
+        # a one-off; steady-state throughput is the metric)
+        pipe.process_frame(ds.frame(0), ds.ground_truth(0))
+        t0 = time.time()
+        pipe.run(
+            (ds.frame(k) for k in range(1, n)),
+            (ds.ground_truth(k) for k in range(1, n)),
+        )
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return (n - 1) / dt, float("nan")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_TABLE.md")
+    ap.add_argument("--skip", nargs="*", default=[])
+    args = ap.parse_args()
+
+    kind, peak = _device_peak()
+    rows = []
+
+    def add(name, note, fn):
+        if name in args.skip:
+            return
+        fps, flops = fn()
+        mfu = (flops * fps / peak) if (peak and np.isfinite(flops)) else None
+        rows.append((name, note, fps, flops, mfu))
+        print(
+            f"{name:16s} {fps:8.2f} FPS   "
+            f"{flops/1e9 if np.isfinite(flops) else float('nan'):8.2f} GFLOP/frame   "
+            f"MFU {mfu*100 if mfu is not None else float('nan'):.2f}%",
+            flush=True,
+        )
+
+    add("fused-synth", "driver bench path, 384x1280, provided flow/mask",
+        lambda: row_fused_synth(False))
+    add("fused-synth-klt", "in-loop pyramidal KLT + CLAHE (no provided flow)",
+        lambda: row_fused_synth(True))
+    add("detector-on", "YOLOv8n-seg engine per frame (384x640 input)",
+        row_detector_on)
+    add("real-io", "60-frame fixture, disk decode + prefetch + logging",
+        row_real_io)
+
+    with open(args.out, "w") as f:
+        f.write(f"# Benchmark table — device: {kind}\n\n")
+        f.write(
+            "FLOPs are XLA cost-model values for the executed program; MFU "
+            "is vs bf16 MXU peak (conservative — pipeline is f32). The frame "
+            "is latency/HBM-bound, not FLOP-bound; MFU shows the MXU "
+            "headroom left at the achieved FPS.\n\n"
+        )
+        f.write("| config | FPS | GFLOP/frame | MFU | notes |\n|---|---|---|---|---|\n")
+        for name, note, fps, flops, mfu in rows:
+            gf = f"{flops/1e9:.2f}" if np.isfinite(flops) else "n/a"
+            mf = f"{mfu*100:.2f}%" if mfu is not None else "n/a"
+            f.write(f"| {name} | {fps:.2f} | {gf} | {mf} | {note} |\n")
+    print(f"wrote {args.out}")
+    print(json.dumps({"rows": [(r[0], round(r[2], 2)) for r in rows]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,10 +34,16 @@ KITTI_FX, KITTI_CX, KITTI_CY = 721.5377, 609.5593, 172.854
 KITTI_BASELINE_M = 387.5744 / KITTI_FX  # 0.537m virtual stereo baseline
 
 
-def fixture_scenario(num_frames=60, width=320, height=96):
+def fixture_scenario(num_frames=60, width=320, height=96, rich=False):
     """KITTI-proportioned dense scene: forward-driving camera with slow yaw,
     three car-like objects with yaw-only constant body motions (the only
-    rotations the KITTI object-GT format can represent)."""
+    rotations the KITTI object-GT format can represent).
+
+    rich=True (the real-resolution preset) adds a fourth car cutting across
+    the lane: it passes BEHIND the lead car (z-buffer occlusion drops its
+    mask below the tracker's minimum), disappears for a stretch, and
+    re-emerges — the occlusion/re-entry stress the reference sequences carry
+    (KITTI 0000's crossing pedestrians, 0020's parked-car re-entries)."""
     from dynosam_tpu.cv import camera as cam
     from dynosam_tpu.dataproviders.simulator import ObjectSpec, ScenarioSpec
     from dynosam_tpu.dataproviders.synthetic_dense import DenseScenario
@@ -84,7 +90,22 @@ def fixture_scenario(num_frames=60, width=320, height=96):
                 motion_xi=np.array([0.0, 0.006, 0.0, -0.04, 0.0, 0.21]),
                 num_points=0,
             ),
-        ],
+        ]
+        + (
+            [
+                # crossing car: cuts right-to-left behind the lead car —
+                # z-buffer occlusion blanks its mask mid-sequence, then it
+                # re-emerges (tracklet break + object re-entry)
+                ObjectSpec(
+                    object_id=4,
+                    initial_pose_xi=np.array([0.0, 0.0, 0.0, 6.5, 0.1, 16.0]),
+                    motion_xi=np.array([0.0, 0.0, 0.0, -0.17, 0.0, 0.27]),
+                    num_points=0,
+                ),
+            ]
+            if rich
+            else []
+        ),
     )
     return DenseScenario(
         spec, intr, ground_y=1.5, far_depth=55.0, object_half_extent=1.2
