@@ -157,7 +157,11 @@ def _smooth_triple_terms(state: GraphState):
     return r, J_A, J_B, J_C
 
 
-def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
+def total_error(
+    state: GraphState, cfg: BackendParams, dynamic_scale: float = 1.0
+) -> jnp.ndarray:
+    """Graph error. dynamic_scale=0.0 gives the static-only objective used
+    by the decoupled camera phase (matches linearize(dynamic_scale=0.0))."""
     dtype = state.X.dtype
     sig = _sigmas(cfg, dtype)
     k = cfg.noise.robust_k_huber
@@ -174,18 +178,19 @@ def total_error(state: GraphState, cfg: BackendParams) -> jnp.ndarray:
     e = jnp.linalg.norm(r_s, axis=-1) / sig["static_pt"]
     err += jnp.sum(jnp.where(state.s_valid & gate[None, :], rho(e), 0.0))
 
-    r_h, _, _, _ = _hybrid_obs_terms(state, onehot)
-    mask = _obs_mask(state, onehot)
-    e = jnp.linalg.norm(r_h / state.d_sig, axis=-1)
-    err += jnp.sum(jnp.where(mask, rho(e), 0.0))
+    if dynamic_scale:
+        r_h, _, _, _ = _hybrid_obs_terms(state, onehot)
+        mask = _obs_mask(state, onehot)
+        e = jnp.linalg.norm(r_h / state.d_sig, axis=-1)
+        err += dynamic_scale * jnp.sum(jnp.where(mask, rho(e), 0.0))
 
-    r_sm, _, _, _ = _smooth_triple_terms(state)
-    sm_mask = _smooth_triple_mask(state, cfg)
-    err += jnp.sum(
-        jnp.where(
-            sm_mask[..., None], 0.5 * (r_sm / sig["smooth"]) ** 2, 0.0
+        r_sm, _, _, _ = _smooth_triple_terms(state)
+        sm_mask = _smooth_triple_mask(state, cfg)
+        err += dynamic_scale * jnp.sum(
+            jnp.where(
+                sm_mask[..., None], 0.5 * (r_sm / sig["smooth"]) ** 2, 0.0
+            )
         )
-    )
 
     if cfg.use_vo_factor:
         X_prev = jnp.concatenate([state.X[:1], state.X[:-1]], axis=0)
@@ -477,54 +482,54 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
     op = cfg.optimizer
     n = 6 * state.F
     D = state.D
-    lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
     # FLAGS_num_dynamic_optimize (ParallelHybridBackendModule.cc:64,525):
     # iteration budget of the per-object phase; 0 = optimizer default
     obj_iters = cfg.num_dynamic_optimize or op.max_iterations
+
+    from dynosam_tpu.backend.solver import lm_accept_reject
 
     def chol_solve(S, g):
         L = jnp.linalg.cholesky(S)
         z = jax.scipy.linalg.solve_triangular(L, g, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
 
-    def _lam_update(ok, lam):
-        # failed-solve recovery (IncrementalOptimization.hpp:277-306): a
-        # non-finite step escalates damping for the retry; success decays it
-        return jnp.where(
-            ok,
-            jnp.maximum(lam / op.lm_lambda_factor, lam0),
-            jnp.minimum(lam * op.lm_lambda_factor, op.lm_max_lambda),
-        )
+    # Phase 1 — camera/static, dynamic information zeroed, error-based LM
+    # accept/reject on the STATIC-ONLY objective (the reference's static
+    # fixed-lag smoother is an error-accepting LM too; a plain-GN camera
+    # phase was tried and replaced — unchecked finite-but-bad steps wander).
+    def lin_cam(st, cfg_, lam):
+        return linearize(st, cfg_, lam, dynamic_scale=0.0)
 
-    def cam_step(carry, _):
-        st, lam = carry
-        lin = linearize(st, cfg, lam, dynamic_scale=0.0)
+    def solve_cam(lin):
         dx_x = chol_solve(lin.S[:n, :n], lin.rhs[:n])
-        dx = jnp.concatenate(
+        return jnp.concatenate(
             [_clip_step(dx_x, op.gn_max_step), jnp.zeros(D - n, dx_x.dtype)]
         )
-        cand = _apply_update(st, lin, dx)
-        ok = jnp.isfinite(cand.X).all()
-        st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
-        return (st, _lam_update(ok, lam)), None
 
-    def obj_step(carry, _):
-        st, lam = carry
-        lin = linearize(st, cfg, lam)
+    def err_cam(st, cfg_):
+        return total_error(st, cfg_, dynamic_scale=0.0)
+
+    state = lm_accept_reject(
+        state, cfg, lin_cam, _apply_update, solve_cam, err_cam
+    )
+
+    # Phase 2 — every object with the camera FROZEN (block-diagonal in the
+    # motions: the batched solve IS the reference's tbb::parallel_for_each),
+    # accept/reject on the full objective (static terms are constant here).
+    def solve_obj(lin):
         dh = chol_solve(lin.S[n:, n:], lin.rhs[n:])
-        dx = jnp.concatenate(
+        return jnp.concatenate(
             [jnp.zeros(n, dh.dtype), _clip_step(dh, op.gn_max_step)]
         )
-        cand = _apply_update(st, lin, dx)
-        ok = jnp.isfinite(cand.H).all()
-        st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), cand, st)
-        return (st, _lam_update(ok, lam)), None
 
-    (state, _), _ = jax.lax.scan(
-        cam_step, (state, lam0), None, length=op.max_iterations
-    )
-    (state, _), _ = jax.lax.scan(
-        obj_step, (state, lam0), None, length=obj_iters
+    state = lm_accept_reject(
+        state,
+        cfg,
+        linearize,
+        _apply_update,
+        solve_obj,
+        total_error,
+        iterations=obj_iters,
     )
     return state
 

@@ -587,7 +587,9 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     )
 
 
-def lm_accept_reject(state, cfg, linearize_fn, apply_fn, solve_fn, error_fn):
+def lm_accept_reject(
+    state, cfg, linearize_fn, apply_fn, solve_fn, error_fn, iterations=None
+):
     """Shared accept/reject LM scan (all three formulations).
 
     GTSAM checkConvergence parity (the NonlinearOptimizer criteria the
@@ -624,6 +626,6 @@ def lm_accept_reject(state, cfg, linearize_fn, apply_fn, solve_fn, error_fn):
     lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)
     (state, _, _, _), _ = jax.lax.scan(
         step, (state, lam0, err0, jnp.array(False)), None,
-        length=op.max_iterations,
+        length=op.max_iterations if iterations is None else iterations,
     )
     return state

@@ -235,10 +235,14 @@ class BackendParams:
     # decoupled_object_solve is set.
     backend_updater_enum: int = 0
     # ParallelHybridBackendModule solve order: static fixed-lag first, then
-    # per-object with the camera frozen (robustness: a degenerate object
-    # cannot perturb the camera). Default False = joint solve (strictly more
-    # information; see ACCURACY.md).
-    decoupled_object_solve: bool = False
+    # per-object with the camera frozen (reference architecture,
+    # ParallelHybridBackendModule.cc:405-560; robustness: a degenerate
+    # object cannot perturb the camera). Default True — measured better on
+    # BOTH camera ATE and object AME than the joint solve in every streamed
+    # mode (fixture: sw ATE 2.59->1.20 cm, AME 0.94->0.74; see ACCURACY.md).
+    # False = joint solve (strictly more information per iteration, but the
+    # camera then absorbs object-structure bias).
+    decoupled_object_solve: bool = True
     # Marginalisation treatment of surviving embedded points referenced by
     # departing factors (hybrid advance): True inflates the departing
     # observation noise by the point's full-window marginal covariance

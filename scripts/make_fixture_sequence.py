@@ -118,12 +118,18 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=96)
+    ap.add_argument(
+        "--rich",
+        action="store_true",
+        help="add the occluded/re-entering crossing car (real-resolution "
+        "preset: --width 1242 --height 375 --frames 100 --rich)",
+    )
     args = ap.parse_args()
 
     from dynosam_tpu.dataproviders.kitti_writer import write_kitti_sequence
     from dynosam_tpu.utils import lie
 
-    dense = fixture_scenario(args.frames, args.width, args.height)
+    dense = fixture_scenario(args.frames, args.width, args.height, rich=args.rich)
 
     # visibility report (objects must stay in frame for useful GT)
     vis = {oid: 0 for oid in dense.scn.object_ids}
