@@ -80,7 +80,7 @@ def bench_config():
     return cfg, intr
 
 
-def make_frames(intr, num_frames=DISTINCT_FRAMES):
+def make_frames(intr, num_frames=DISTINCT_FRAMES, world_texture=False):
     """The benchmark's synthetic KITTI-scale frame set (device-resident)."""
     import jax
 
@@ -112,7 +112,8 @@ def make_frames(intr, num_frames=DISTINCT_FRAMES):
             ),
         ],
     )
-    dense = DenseScenario(spec, intr, ground_y=1.6, far_depth=60.0, object_half_extent=1.6)
+    dense = DenseScenario(spec, intr, ground_y=1.6, far_depth=60.0,
+                          object_half_extent=1.6, world_texture=world_texture)
     return [jax.device_put(dense.frame(k)) for k in range(num_frames)]
 
 

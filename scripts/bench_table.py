@@ -106,10 +106,7 @@ def row_fused_synth(klt: bool):
                 ),
             ),
         )
-    step, state, frames = None, None, None
-    # reuse bench's scene construction
-    _, _, frames = bench.build() if not klt else bench.build()
-    del step, state
+    frames = bench.make_frames(intr, world_texture=klt)
     frames = [jax.device_put(f) for f in frames]
     fps, flops = time_fused(cfg, intr, frames)
     return fps, flops
@@ -128,11 +125,8 @@ def row_detector_on():
     _, _, frames = bench.build()
     eng = YoloV8DetectorEngine(input_hw=(384, 640))
 
-    det_flops = _flops(
-        jax.jit(eng._run._fun if hasattr(eng._run, "_fun") else eng._run)
-        .lower(eng.params, frames[0].rgb)
-        .compile()
-    )
+    # eng._run is already jitted — lower it directly for the cost model
+    det_flops = _flops(eng._run.lower(eng.params, frames[0].rgb).compile())
 
     step = jax.jit(make_fused_step(cfg, intr), donate_argnums=0)
     state = init_pipeline_state(cfg)

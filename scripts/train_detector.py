@@ -120,6 +120,39 @@ def batch_from_scenes(rng: np.random.Generator, batch: int):
     return np.stack(imgs), np.stack(masks)
 
 
+def build_pool(rng: np.random.Generator, num_scenes: int):
+    """Pre-rendered training pool. Every scene renders ALL its frames (the
+    per-scene jit trace is the dominant cost on CPU — amortize it), objects
+    that wander out of frame just yield fewer instances."""
+    imgs, masks = [], []
+    while len(imgs) < num_scenes * 3:
+        scn = random_scene(rng)
+        for k in range(scn.scn.spec.num_frames):
+            fr = scn.frame(k)
+            m = np.asarray(fr.mask)
+            if m.max() <= 0:
+                continue
+            imgs.append(np.asarray(fr.rgb))
+            masks.append(m)
+    return imgs, masks
+
+
+def sample_batch(rng: np.random.Generator, imgs, masks, batch: int):
+    """Pool batch with horizontal-flip + brightness/contrast augmentation."""
+    idx = rng.integers(0, len(imgs), size=batch)
+    bi, bm = [], []
+    for i in idx:
+        im, m = imgs[i], masks[i]
+        if rng.random() < 0.5:
+            im, m = im[:, ::-1].copy(), m[:, ::-1].copy()
+        gain = rng.uniform(0.8, 1.2)
+        bias = rng.uniform(-0.1, 0.1)
+        im = np.clip(im * gain + bias, 0.0, 1.0).astype(np.float32)
+        bi.append(im)
+        bm.append(m)
+    return np.stack(bi), np.stack(bm)
+
+
 def targets_from_mask(mask: np.ndarray):
     """Instance mask -> padded GT (boxes xyxy, valid) for MAX_OBJ slots."""
     boxes = np.zeros((MAX_OBJ, 4), np.float32)
@@ -340,6 +373,7 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pool", type=int, default=60, help="scenes in the pool")
     ap.add_argument("--log-every", type=int, default=25)
     args = ap.parse_args()
 
@@ -379,8 +413,10 @@ def main():
 
     rng = np.random.default_rng(args.seed + 1)
     t0 = time.time()
+    pool_i, pool_m = build_pool(rng, args.pool)
+    print(f"pool: {len(pool_i)} frames ({time.time() - t0:.1f}s)", flush=True)
     for step in range(args.steps):
-        imgs, masks = batch_from_scenes(rng, args.batch)
+        imgs, masks = sample_batch(rng, pool_i, pool_m, args.batch)
         tb, tv, ti = zip(*(targets_from_mask(m) for m in masks))
         params, opt_state, loss = train_step(
             params,
