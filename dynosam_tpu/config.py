@@ -88,6 +88,10 @@ class TrackerParams:
     max_dynamic_feature_age: int = 20          # staggered likewise
     min_distance_btw_tracked_and_detected_static_features: int = 15
     min_distance_btw_tracked_and_detected_dynamic_features: int = 2
+    # Opt-out for the staggering above: False restores the reference's exact
+    # semantics (every track expires at exactly max_age; the reference avoids
+    # the resulting cohort cliff by incremental detection).
+    stagger_track_expiry: bool = True
     # dynamic keyframing criteria
     dynamic_feature_age_buffer: int = 3
     min_dynamic_tracks: int = 20

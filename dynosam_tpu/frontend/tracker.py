@@ -264,11 +264,17 @@ def track_frame(
         # the next solve with no matured correspondences. A deterministic
         # per-slot offset spreads one cohort's expiry over ~2*age_buffer
         # frames (the reference's staggering is implicit in its incremental
-        # detection).
+        # detection). Opt out via stagger_track_expiry=False for exact
+        # reference max-age semantics.
         & (
             state.s_age
             < tp.max_feature_track_age
-            + jnp.arange(state.s_age.shape[0]) % (2 * tp.dynamic_feature_age_buffer)
+            + (
+                jnp.arange(state.s_age.shape[0])
+                % (2 * tp.dynamic_feature_age_buffer)
+                if tp.stagger_track_expiry
+                else 0
+            )
         )
     )
 
@@ -288,7 +294,12 @@ def track_frame(
         & (
             state.d_age
             < tp.max_dynamic_feature_age
-            + jnp.arange(state.d_age.shape[0]) % (2 * tp.dynamic_feature_age_buffer)
+            + (
+                jnp.arange(state.d_age.shape[0])
+                % (2 * tp.dynamic_feature_age_buffer)
+                if tp.stagger_track_expiry
+                else 0
+            )
         )
     )
 

@@ -69,7 +69,8 @@ def time_fused(cfg, intr, frames, warmup=5, measure=30):
     from dynosam_tpu.parallel.batched import init_pipeline_state, make_fused_step
 
     step_fn = make_fused_step(cfg, intr)
-    state = init_pipeline_state(cfg)
+    image_shape = tuple(frames[0].rgb.shape[:2])
+    state = init_pipeline_state(cfg, image_shape=image_shape)
     lowered = jax.jit(step_fn, donate_argnums=0).lower(state, frames[0])
     compiled = lowered.compile()
     flops = _flops(compiled)
