@@ -170,10 +170,10 @@ def row_real_io(fixture="tests/fixtures/kitti_fixture", frames=60):
         OptimizerParams,
         TrackerParams,
     )
-    from dynosam_tpu.dataproviders.factory import make_provider
+    from dynosam_tpu.dataproviders.base import create_dataset
     from dynosam_tpu.pipeline.pipeline import DynoPipeline
 
-    ds = make_provider(0, fixture)
+    ds = create_dataset(0, fixture)
     cfg = DynoConfig(
         frontend=FrontendParams(
             max_objects=8,
@@ -248,6 +248,16 @@ def main():
             "is vs bf16 MXU peak (conservative — pipeline is f32). The frame "
             "is latency/HBM-bound, not FLOP-bound; MFU shows the MXU "
             "headroom left at the achieved FPS.\n\n"
+            "CAVEAT — dispatch overhead on this box: the TPU is reached "
+            "through a tunneled runtime that adds ~18-20 ms per blocking "
+            "dispatch round-trip. The driver-recorded BENCH_r0N.json runs "
+            "the identical fused-synth program without the tunnel (114.45 "
+            "FPS in round 2 vs 37 here), so rows are comparable to EACH "
+            "OTHER but absolute FPS understates real-hardware throughput "
+            "for every row; real-io is hit hardest (many small dispatches + "
+            "host transfers per frame). detector-on exceeding fused-synth "
+            "is the same effect in reverse: two async programs per frame "
+            "pipeline against the tunnel latency.\n\n"
         )
         f.write("| config | FPS | GFLOP/frame | MFU | notes |\n|---|---|---|---|---|\n")
         for name, note, fps, flops, mfu in rows:
