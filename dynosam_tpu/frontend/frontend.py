@@ -129,6 +129,17 @@ def frontend_step(
     old = state.tracker
     gray = _to_gray(inputs.rgb)
     klt_mode = not params.tracker.prefer_provided_optical_flow
+    # KLT mode: CLAHE-equalize the NEW frame once and carry the result as
+    # prev_gray — track_frame expects both frames pre-equalized (the
+    # reference equalizes each frame once too, KltFeatureTracker).
+    if klt_mode and params.tracker.use_clahe:
+        from dynosam_tpu.frontend.tracker import _clahe_padded
+
+        gray_t = _clahe_padded(
+            gray, params.tracker.clahe_grid, params.tracker.clahe_clip_limit
+        )
+    else:
+        gray_t = gray
 
     # ---- mask propagation (FeatureTracker.cc:109 -> propogateMask) -------
     pm_on = params.use_propogate_mask and state.prev_mask.size > 0
@@ -148,6 +159,7 @@ def frontend_step(
         params,
         first_frame=first,
         prev_gray=state.prev_gray if klt_mode else None,
+        gray_lk=gray_t if klt_mode else None,
     )
 
     # ---- in-loop stereo depth refinement (stereoTrack #1) ----------------
@@ -437,7 +449,7 @@ def frontend_step(
         X_prev_prev=jnp.where(first, X_k, state.X_prev),
         frame_idx=state.frame_idx + 1,
         key=key,
-        prev_gray=gray.astype(state.prev_gray.dtype) if klt_mode else state.prev_gray,
+        prev_gray=gray_t.astype(state.prev_gray.dtype) if klt_mode else state.prev_gray,
         prev_mask=mask_k.astype(jnp.int32) if pm_on else state.prev_mask,
         v_world=v_new,
     )

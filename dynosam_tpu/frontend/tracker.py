@@ -166,7 +166,10 @@ def track_frame(
     mask,                 # (H, W) int32 instance labels at k
     params: FrontendParams,
     first_frame: bool = False,
-    prev_gray=None,       # (H, W) grayscale of k-1; required in KLT mode
+    prev_gray=None,       # (H, W) grayscale of k-1 (CLAHE-equalized when
+                          # use_clahe — frontend_step's carry); KLT mode only
+    gray_lk=None,         # (H, W) CLAHE-equalized grayscale of frame k for
+                          # the LK pair; detection keeps using raw `gray`
 ):
     """One tracking step. Returns the updated TrackerState.
 
@@ -227,10 +230,12 @@ def track_frame(
                 "prefer_provided_optical_flow=False requires prev_gray "
                 "(carry it in FrontendState; see frontend_step)"
             )
-        g0, g1 = prev_gray, gray
-        if tp.use_clahe:
-            g0 = _clahe_padded(g0, tp.clahe_grid, tp.clahe_clip_limit)
-            g1 = _clahe_padded(g1, tp.clahe_grid, tp.clahe_clip_limit)
+        # Both frames arrive already CLAHE-equalized when use_clahe is on:
+        # frontend_step equalizes each NEW frame once (gray_lk) and carries
+        # the result as prev_gray, halving the per-frame CLAHE cost vs
+        # re-equalizing the previous frame here every step. Detection below
+        # stays on the raw `gray`.
+        g0, g1 = prev_gray, (gray_lk if gray_lk is not None else gray)
         ns = state.s_uv.shape[0]
         uv_all = jnp.concatenate([state.s_uv, state.d_uv], axis=0)
         valid_all = jnp.concatenate([state.s_valid, state.d_valid], axis=0)
