@@ -273,6 +273,28 @@ def linearize(
     )
 
     # ================= hybrid dynamic observations ========================
+    # dynamic_scale is a PYTHON float: 0.0 (the decoupled camera phase)
+    # skips every dynamic/smoothing term at trace time — same gating as
+    # total_error — instead of emitting einsums multiplied by a constant
+    # zero that XLA does not reliably eliminate. Halves the phase-1 program.
+    if dynamic_scale == 0.0:
+        Ld_, F_ = state.Ld, state.F
+        zero_lin = _HybridLin(
+            S=S, rhs=rhs, Hpp_inv_s=Hpp_inv_s, g_s=g_s, A_s=A_s,
+            Hpp_inv_d=jnp.zeros((Ld_, 3, 3), dtype),
+            g_d=jnp.zeros((Ld_, 3), dtype),
+            Ax_d=jnp.zeros((Ld_, F_, 6, 3), dtype),
+            Ah_d=jnp.zeros((Ld_, F_, 6, 3), dtype),
+            onehot=onehot,
+        )
+        S, rhs = _fixed_terms(
+            state, cfg, S, rhs, fixed_scale, sig, dtype
+        )
+        if final_reg:
+            diag = jnp.diag(S)
+            S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
+        return zero_lin._replace(S=S, rhs=rhs)
+
     r_h, y_h, q, RH = _hybrid_obs_terms(state, onehot)       # (Ld,F,3)...
     mask = _obs_mask(state, onehot)
     e_h = jnp.linalg.norm(r_h / state.d_sig, axis=-1)
@@ -394,6 +416,23 @@ def linearize(
     )
 
     # ================= odometry / gauge / marginal prior ==================
+    S, rhs = _fixed_terms(state, cfg, S, rhs, fixed_scale, sig, dtype)
+
+    if final_reg:
+        diag = jnp.diag(S)
+        S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
+
+    return _HybridLin(
+        S=S, rhs=rhs, Hpp_inv_s=Hpp_inv_s, g_s=g_s, A_s=A_s,
+        Hpp_inv_d=Hpp_inv_d, g_d=g_d, Ax_d=Ax_d, Ah_d=Ah_d, onehot=onehot,
+    )
+
+
+def _fixed_terms(state: GraphState, cfg: BackendParams, S, rhs, fixed_scale,
+                 sig, dtype):
+    """Non-landmark terms shared by both linearize paths: odometry chain,
+    gauge prior, marginal prior."""
+    F = state.F
     if cfg.use_vo_factor:
         X_prev = jnp.concatenate([state.X[:1], state.X[:-1]], axis=0)
         r_o = factors.between_residual(X_prev, state.X, state.odom)
@@ -416,15 +455,7 @@ def linearize(
     pv = fixed_scale * state.prior_valid.astype(dtype)
     S = S + pv * lie.mm(state.prior_L.T, state.prior_L)
     rhs = rhs - pv * (state.prior_L.T @ r_mp)
-
-    if final_reg:
-        diag = jnp.diag(S)
-        S = S + jnp.diag((_EPS_REG + lam) + (1e-5 + lam) * jnp.abs(diag))
-
-    return _HybridLin(
-        S=S, rhs=rhs, Hpp_inv_s=Hpp_inv_s, g_s=g_s, A_s=A_s,
-        Hpp_inv_d=Hpp_inv_d, g_d=g_d, Ax_d=Ax_d, Ah_d=Ah_d, onehot=onehot,
-    )
+    return S, rhs
 
 
 def _sym2(B):

@@ -413,30 +413,28 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
     P_d = jnp.zeros((nd, D), dtype).at[jnp.arange(nd), dep].set(1.0)
     P_r = jnp.zeros((D - nd, D), dtype).at[jnp.arange(D - nd), keep].set(1.0)
 
-    M_d_rows = lie.mm(P_d, M)                             # (nd, D)
-    # Jittered-Cholesky elimination of the departing block. A spectrum-
-    # clamped pseudo-inverse (zeroing near-null directions of M_dd) was
-    # tried for rank-deficient departures and REVERTED: on HEALTHY streams
-    # it quadrupled the camera drift (3.9 -> 15.5 cm on the 8-frame
-    # simulator A/B) — directions between the clamp floor and genuine
-    # information get their Schur correction amplified by up to 1/floor,
-    # and dropping sub-floor directions leaves the kept blocks
-    # over-confident. The small absolute jitter is statistically benign
-    # (slightly UNDER-confident prior) and the degenerate-object stream
-    # stays within 2.5 cm of the healthy one (tests/test_degenerate.py).
-    M_dd = lie.mm(M_d_rows, P_d.T) + _EPS_REG * jnp.eye(nd, dtype=dtype)
-    M_dr = lie.mm(M_d_rows, P_r.T)                        # (nd, D-nd)
-    M_rr = lie.mm(lie.mm(P_r, M), P_r.T)
-    g_d = P_d @ g
-    g_r = P_r @ g
+    # Permute to [departing; keep] ordering (one-hot matmuls on the MXU).
+    P_full = jnp.concatenate([P_d, P_r], axis=0)          # (D, D)
+    M_perm = lie.mm(lie.mm(P_full, M), P_full.T)
+    g_perm = P_full @ g
 
-    L_dd = jnp.linalg.cholesky(M_dd)
-    sol = jax.scipy.linalg.cho_solve(
-        (L_dd, True), jnp.concatenate([M_dr, g_d[:, None]], axis=1)
+    # Diagonal hygiene before factorization: the departing block gets the
+    # elimination regularizer _EPS_REG (jittered elimination of the departing
+    # block — a spectrum-clamped pseudo-inverse was tried for rank-deficient
+    # departures and REVERTED: on HEALTHY streams it quadrupled camera drift,
+    # 3.9 -> 15.5 cm on the 8-frame simulator A/B; the small absolute jitter
+    # is statistically benign and the degenerate-object stream stays within
+    # 2.5 cm of the healthy one, tests/test_degenerate.py). DEAD directions
+    # (structurally unused object slots: zero rows) get a tiny relative
+    # floor — spurious information ~1e-6 of the dominant diagonal, only on
+    # directions carrying NO real information.
+    diag0 = jnp.diagonal(M_perm)
+    max_d = jnp.maximum(jnp.max(diag0), 1.0)
+    dead = diag0 <= 1e-10 * max_d
+    reg = jnp.where(dead, 1e-6 * max_d, 0.0) + jnp.where(
+        jnp.arange(D) < nd, _EPS_REG, 0.0
     )
-    Minv_Mdr, Minv_gd = sol[:, :-1], sol[:, -1]
-    H_marg_keep = M_rr - M_dr.T @ Minv_Mdr
-    g_marg_keep = g_r - M_dr.T @ Minv_gd
+    M_perm = M_perm + jnp.diag(reg)
 
     # re-index to the rolled layout: new = P_map @ keep-space
     old_of_new = np.asarray(_remaining_old_for_new(F, J))  # static
@@ -450,42 +448,77 @@ def _eliminate_and_roll(state: GraphState, cfg: BackendParams, M, g):
         .at[jnp.asarray(rows[ok]), jnp.asarray(cols[ok])]
         .set(1.0)
     )
-    H_new = lie.mm(lie.mm(P_map, H_marg_keep), P_map.T)
-    g_new = P_map @ g_marg_keep
 
-    # Float32-safe prior square root. The float32 Schur complement above can
-    # suffer catastrophic cancellation when the departing block carries
-    # large-weight information (gauge/odometry chains), leaving H_marg_keep
-    # slightly indefinite; a plain Cholesky then yields NaN and the prior
-    # poisons every later solve (round 2's frozen streamed backend). Fast
-    # path: UNJITTERED Cholesky — when it succeeds the prior is exact. (A
-    # jittered fast path was tried and REVERTED: jitter scaled to the max
-    # diagonal is up to ~100% spurious information on the weakly-informed
-    # directions, anchoring them at the current rolled estimate; the bias
-    # compounds per advance into a deterministic, optimizer-independent
-    # drift — caught by the healthy-stream A/B behind
-    # tests/test_degenerate.py.) Rare path: if Cholesky fails, lax.cond runs
-    # the exact PSD-projected eigendecomposition (spectrum clamped at a
-    # floor, gradient zeroed along clamped directions). cond executes only
-    # the taken branch, so the O(D^3) eigh costs nothing on healthy advances.
-    H_new = 0.5 * (H_new + H_new.T)
-    L0 = jnp.linalg.cholesky(H_new)
-    chol_ok = jnp.isfinite(L0).all()
+    # Float32-safe marginalization WITHOUT an explicit Schur complement.
+    # History of this code path (each step measured on the driver bench):
+    #   * round 3 Cholesky'd the rolled-layout H_new, whose fresh slots are
+    #     structurally zero rows -> NaN on EVERY advance -> the O(D^3) eigh
+    #     fallback ran per frame (0/20 chol_ok, ~11 ms/advance at D=540,
+    #     scripts/probe_advance.py — the bulk of BENCH_r03's 45 FPS);
+    #   * Cholesky of the EXPLICIT keep-space Schur complement
+    #     M_rr - M_dr^T M_dd^-1 M_dr still failed 19/20: float32
+    #     cancellation in the subtraction leaves negative eigenvalues at
+    #     ~3e-4 of the spectrum radius (scripts/probe_spectrum.py: min eig
+    #     -9.0 vs max 2.7e4) — no diagonal jitter short of accuracy-breaking
+    #     magnitudes repairs a matrix that is already indefinite.
+    # The fix: factor the FULL permuted information matrix once,
+    #   chol([[M_dd, M_dr], [M_rd, M_rr]]) = [[L11, 0], [L21, L22]],
+    # and use the identity  Schur(M_dd) == L22 @ L22.T — the marginal prior
+    # square root is L22^T DIRECTLY, PSD by construction, no subtraction to
+    # cancel. Equilibrate first (M = S Mn S, S = diag sqrt(diag)): the
+    # Cholesky then runs on the correlation matrix, so pivot breakdown
+    # depends on conditioning, not on the 1e8-scale spread between gauge and
+    # pixel information. chol(S Mn S) = S chol(Mn) exactly (S diagonal).
+    # The tiny unit-diagonal jitter adds 1e-5 of each direction's OWN
+    # information — NOT the reverted max-diagonal jitter, which put up to
+    # ~100% spurious information on weakly-informed directions.
+    # Rare path: if the factorization still breaks down (genuinely
+    # rank-deficient window), lax.cond runs the exact PSD-projected
+    # eigendecomposition of the explicit Schur complement; cond executes
+    # only the taken branch, so the O(D^3) eigh costs nothing on healthy
+    # advances.
+    s_eq = jnp.sqrt(jnp.diagonal(M_perm))
+    Mn = M_perm / (s_eq[:, None] * s_eq[None, :])
+    Mn = Mn + 1e-5 * jnp.eye(D, dtype=dtype)
+    Ln = jnp.linalg.cholesky(Mn)
+    chol_ok = jnp.isfinite(Ln).all()
+    L_full = s_eq[:, None] * Ln
 
     def _chol_sqrt(_):
-        b0 = jax.scipy.linalg.solve_triangular(L0, g_new, lower=True)
-        return jnp.swapaxes(L0, -1, -2), b0
+        L11 = L_full[:nd, :nd]
+        L21 = L_full[nd:, :nd]
+        L22 = L_full[nd:, nd:]
+        b1 = jax.scipy.linalg.solve_triangular(L11, g_perm[:nd], lower=True)
+        b0 = jax.scipy.linalg.solve_triangular(
+            L22, g_perm[nd:] - L21 @ b1, lower=True
+        )
+        return jnp.swapaxes(L22, -1, -2), b0
 
     def _eigh_sqrt(_):
-        w_eig, V = jnp.linalg.eigh(H_new)
+        L_dd = jnp.linalg.cholesky(M_perm[:nd, :nd])  # _EPS_REG already added
+        sol = jax.scipy.linalg.cho_solve(
+            (L_dd, True),
+            jnp.concatenate([M_perm[:nd, nd:], g_perm[:nd, None]], axis=1),
+        )
+        H_keep = M_perm[nd:, nd:] - M_perm[:nd, nd:].T @ sol[:, :-1]
+        g_mk = g_perm[nd:] - M_perm[:nd, nd:].T @ sol[:, -1]
+        H_keep = 0.5 * (H_keep + H_keep.T)
+        w_eig, V = jnp.linalg.eigh(H_keep)
         floor = 1e-8 * jnp.maximum(jnp.max(w_eig), 1.0)
         informative = w_eig > floor
         w_cl = jnp.where(informative, w_eig, floor)
         Lp = jnp.sqrt(w_cl)[:, None] * V.T                 # L^T L = H_psd
-        bp = jnp.where(informative, (V.T @ g_new) / jnp.sqrt(w_cl), 0.0)
+        bp = jnp.where(informative, (V.T @ g_mk) / jnp.sqrt(w_cl), 0.0)
         return Lp, bp
 
-    prior_L, b = jax.lax.cond(chol_ok, _chol_sqrt, _eigh_sqrt, operand=None)
+    L_red, b_red = jax.lax.cond(chol_ok, _chol_sqrt, _eigh_sqrt, operand=None)
+    # Re-index the sqrt factor to the rolled layout: rows stay in keep-space
+    # (padded with nd zero rows to keep the (D, D) contract), columns map
+    # keep -> new via P_map^T; prior_L^T prior_L == P_map H_keep P_map^T.
+    prior_L = jnp.concatenate(
+        [lie.mm(L_red, P_map.T), jnp.zeros((nd, D), dtype)], axis=0
+    )
+    b = jnp.concatenate([b_red, jnp.zeros((nd,), dtype)])
 
     def roll0(x):
         return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)

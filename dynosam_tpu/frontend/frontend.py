@@ -34,8 +34,11 @@ class FrontendState:
     frame_idx: jnp.ndarray     # () int32
     key: jax.Array
     # previous grayscale frame, carried only in KLT mode
-    # (prefer_provided_optical_flow=False); shape (0, 0) otherwise so the
-    # provided-flow path pays no HBM copy per step
+    # (prefer_provided_optical_flow=False); CLAHE-equalized when
+    # tracker.use_clahe is on (track_frame expects the LK pair
+    # pre-equalized — a state serialized before this contract yields one
+    # frame with a raw/equalized mismatch, an acceptable transient); shape
+    # (0, 0) otherwise so the provided-flow path pays no HBM copy per step
     prev_gray: jnp.ndarray
     # previous instance mask, carried only when use_propogate_mask is on and
     # the state was built with an image_shape; (0, 0) sentinel otherwise
@@ -130,8 +133,12 @@ def frontend_step(
     gray = _to_gray(inputs.rgb)
     klt_mode = not params.tracker.prefer_provided_optical_flow
     # KLT mode: CLAHE-equalize the NEW frame once and carry the result as
-    # prev_gray — track_frame expects both frames pre-equalized (the
-    # reference equalizes each frame once too, KltFeatureTracker).
+    # prev_gray — track_frame expects both frames pre-equalized. NB this is
+    # an intentional divergence from the reference split: the reference
+    # equalizes the DETECTION image (FeatureDetector.cc:193) while its LK
+    # pair is un-equalized (KltFeatureTracker's CLAHE is commented out,
+    # StaticFeatureTracker.cc:315-318); this repo equalizes the LK pair and
+    # detects on raw gray, which measured better on the synthetic fixtures.
     if klt_mode and params.tracker.use_clahe:
         from dynosam_tpu.frontend.tracker import _clahe_padded
 

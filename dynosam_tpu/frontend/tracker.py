@@ -180,11 +180,14 @@ def track_frame(
     Two propagation modes (reference: FeatureTracker.cc):
       * provided-flow (prefer_provided_optical_flow=True): look up the dense
         flow at each feature (trackDynamic:339-498 / ExternalFlow tracking);
-      * KLT (False): CLAHE-equalize both frames and run sparse pyramidal
-        Lucas-Kanade with forward-backward verification over static AND
-        dynamic features in one batch (StaticFeatureTracker.cc:226-285
-        `trackStatic`, FeatureTracker.cc:500 `trackDynamicKLT`) — tracking
-        from raw images, no dataset flow needed.
+      * KLT (False): sparse pyramidal Lucas-Kanade with forward-backward
+        verification over static AND dynamic features in one batch
+        (StaticFeatureTracker.cc:226-285 `trackStatic`, FeatureTracker.cc:500
+        `trackDynamicKLT`) — tracking from raw images, no dataset flow
+        needed. With use_clahe on, BOTH LK frames must arrive pre-equalized:
+        prev_gray is the carried equalized previous frame and gray_lk the
+        equalized current frame (frontend_step equalizes each frame once);
+        detection keeps using the raw `gray`.
     """
     tp = params.tracker
     H, W = gray.shape
@@ -229,6 +232,13 @@ def track_frame(
             raise ValueError(
                 "prefer_provided_optical_flow=False requires prev_gray "
                 "(carry it in FrontendState; see frontend_step)"
+            )
+        if tp.use_clahe and gray_lk is None:
+            raise ValueError(
+                "use_clahe=True requires gray_lk (the CLAHE-equalized "
+                "current frame): the LK pair must arrive pre-equalized — "
+                "frontend_step equalizes each frame once and carries the "
+                "result as prev_gray"
             )
         # Both frames arrive already CLAHE-equalized when use_clahe is on:
         # frontend_step equalizes each NEW frame once (gray_lk) and carries
