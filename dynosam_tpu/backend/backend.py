@@ -58,6 +58,19 @@ class RegularBackend:
         # object_id -> (4,4) pose, propagated L_k = H_k L_{k-1}.
         self.object_poses: Dict[int, np.ndarray] = {}
         self._step_count = 0
+        # Host mirror of state.num_frames: int(state.num_frames) would force
+        # a device->host sync EVERY frame (a full round trip on tunneled
+        # runtimes); the window arithmetic is deterministic, so mirror it.
+        self._n_frames_host = 0
+        # Deferred mature-estimate stashes (defer_margin): records are
+        # packed into one device ring buffer (utils/packing.py) and drained
+        # in ONE transfer before any mature read — per-array pulls cost a
+        # full round trip each on tunneled runtimes.
+        self.defer_margin = False
+        self._marg_cap = 512
+        self._marg_n = 0
+        self._marg_buf = None
+        self._marg_pack = None
         # Marginalization-time ("mature") estimates for windowed modes: a
         # fixed-lag smoother's estimate of frame k is final when k leaves the
         # window — that is the value a fixed-lag system reports (the
@@ -111,12 +124,36 @@ class RegularBackend:
         self._jit_optimize = jax.jit(
             lambda st: optimize_fn(st, self._opt_cfg)
         )
+        # FULL_BATCH warm start (see BackendParams.batch_warm_start): short
+        # warm-started LM per ingestion so the final batch solve starts from
+        # a path-followed estimate, not 60+ frames of cold odometry chaining.
+        self._jit_warm = None
+        if cfg.optimization_mode == 0 and cfg.batch_warm_start:
+            import dataclasses
+
+            warm_cfg = dataclasses.replace(
+                cfg,
+                optimizer=dataclasses.replace(
+                    cfg.optimizer,
+                    max_iterations=cfg.optimizer.incremental_iterations,
+                    accept_reject=True,
+                ),
+            )
+            self._jit_warm = jax.jit(lambda st: optimize_fn(st, warm_cfg))
         self._jit_advance = jax.jit(lambda st: advance_fn(st, cfg))
         self._jit_outputs = jax.jit(self._device_outputs)
         self._jit_margin = jax.jit(self._device_margin_outputs)
 
     # ------------------------------------------------------------------
-    def step(self, packet: VisionPacket, optimize: Optional[bool] = None) -> BackendOutput:
+    def step(
+        self,
+        packet: VisionPacket,
+        optimize: Optional[bool] = None,
+        extract: bool = True,
+    ) -> Optional[BackendOutput]:
+        """extract=False skips host materialization of the output (returns
+        None) — pair with device_output_snapshot()/materialize_output() for
+        the deferred-throughput pipeline path."""
         cfg = self.cfg
         if cfg.regular_backend_static_only:
             # reference flag: the backend estimates the camera/static scene
@@ -128,7 +165,7 @@ class RegularBackend:
                 ),
                 object_valid=jnp.zeros_like(packet.object_valid),
             )
-        if int(self.state.num_frames) >= cfg.max_frames:
+        if self._n_frames_host >= cfg.max_frames:
             if cfg.optimization_mode == 0:
                 raise RuntimeError(
                     "FULL_BATCH window capacity exceeded; raise max_frames"
@@ -143,19 +180,37 @@ class RegularBackend:
             else:
                 stride = max(1, cfg.max_frames - 1 - cfg.opt_window_overlap)
             for _ in range(stride):
-                self._stash_matured(self._jit_margin(self.state))
+                if self.defer_margin:
+                    # pack the record into the device ring buffer; drained
+                    # lazily in one transfer (throughput mode)
+                    if self._marg_pack is None:
+                        self._build_marg_packer()
+                    if self._marg_n >= self._marg_cap:
+                        self.drain_matured()
+                    self._marg_buf = self._jit_marg_write(
+                        self._marg_buf,
+                        jnp.asarray(self._marg_n, jnp.int32),
+                        self.state,
+                    )
+                    self._marg_n += 1
+                else:
+                    self._stash_matured(self._jit_margin(self.state))
                 self.state = self._jit_advance(self.state)
+                self._n_frames_host -= 1
 
         self.state = self._jit_update(self.state, packet)
+        self._n_frames_host += 1
 
         if optimize is None:
-            # full-batch defers optimization to `finish` except for pose init;
+            # full-batch defers the FULL optimization to `finish`;
             # sliding-window/incremental optimize every frame.
             optimize = cfg.optimization_mode != 0
         if optimize:
             self.state = self._jit_optimize(self.state)
+        elif self._jit_warm is not None:
+            self.state = self._jit_warm(self.state)
 
-        return self._extract_output(packet)
+        return self._extract_output(packet) if extract else None
 
     def finish(self) -> None:
         """Full-batch final solve (reference: updateBatch at last frame)."""
@@ -207,6 +262,31 @@ class RegularBackend:
             obj_ids=st.obj_ids,
         )
 
+    def _build_marg_packer(self):
+        from dynosam_tpu.utils.packing import build_packer
+
+        shapes = jax.eval_shape(self._device_margin_outputs, self.state)
+        pack, unpack, width = build_packer(dict(shapes))
+        self._marg_pack, self._marg_unpack = pack, unpack
+        self._marg_buf = jnp.zeros((self._marg_cap, width), jnp.float32)
+
+        def write(buf, i, state):
+            return buf.at[i].set(pack(dict(self._device_margin_outputs(state))))
+
+        self._jit_marg_write = jax.jit(write, donate_argnums=0)
+
+    def drain_matured(self):
+        """Materialize deferred mature-estimate records (defer_margin mode)
+        — the packed ring buffer arrives in ONE device->host transfer
+        (per-array pulls are a blocking round trip each on tunneled
+        runtimes)."""
+        n, self._marg_n = self._marg_n, 0
+        if not n:
+            return
+        rows = np.asarray(self._marg_buf[:n])
+        for i in range(n):
+            self._stash_matured(self._marg_unpack(rows[i]))
+
     def _stash_matured(self, rec):
         rec = jax.tree.map(np.asarray, rec)
         pfid = int(rec["pose_fid"])
@@ -226,6 +306,7 @@ class RegularBackend:
         motions of every slot that can still form one. Together with the
         per-advance stashes this yields exactly one mature estimate per
         frame — the fixed-lag output contract."""
+        self.drain_matured()
         st = self.state
         n = int(st.num_frames)
         if n == 0:
@@ -313,32 +394,93 @@ class RegularBackend:
             md_world = st.md[:, f]
             obj_pose = jnp.broadcast_to(jnp.eye(4, dtype=st.X.dtype), (st.J, 4, 4))
             H_valid = st.H_valid[:, f]
+        # full per-frame snapshot: everything the host-side BackendOutput
+        # needs, captured on device so materialization can be deferred
+        # (defer_host_outputs throughput mode — no per-frame sync)
+        d_valid_f = st.d_valid[:, f]
+        # per-object landmark bounding boxes in the OBJECT frame, computed on
+        # device (Logger.cc:365 logObjectBbxes role) — the deferred snapshot
+        # ships these (J, 3) bounds instead of the full landmark tables,
+        # which are ~93% of the packed bytes
+        Lj = obj_pose[jnp.clip(st.d_obj, 0, st.J - 1)]        # (Ld, 4, 4)
+        local = lie.einsum(
+            "lab,la->lb", lie.rotation(Lj), md_world - Lj[:, :3, 3]
+        )                                                      # (Ld, 3)
+        sel = (
+            d_valid_f[:, None]
+            & (st.d_obj[:, None] == jnp.arange(st.J)[None, :])
+        )                                                      # (Ld, J)
+        big = jnp.asarray(jnp.inf, local.dtype)
+        per = jnp.where(sel[:, :, None], local[:, None, :], big)
+        bbx_min = jnp.min(per, axis=0)                         # (J, 3)
+        bbx_max = jnp.max(jnp.where(sel[:, :, None], local[:, None, :], -big), axis=0)
+        bbx_ok = jnp.any(sel, axis=0)
         return dict(
             X=st.X[f],
             H=H_out,
             H_valid=H_valid,
             md_world=md_world,
             obj_pose=obj_pose,
+            obj_ids=st.obj_ids,
+            slot_open=st.slot_open,
+            d_obj=st.d_obj,
+            d_valid_f=d_valid_f,
+            ms=st.ms,
+            s_valid_any=jnp.any(st.s_valid, axis=0),
+            bbx_min=bbx_min,
+            bbx_max=bbx_max,
+            bbx_ok=bbx_ok,
         )
 
+    # landmark-table snapshot keys dropped from the DEFERRED pack: they are
+    # ~93% of the packed bytes and the throughput path replaces their one
+    # consumer (host bbx logging) with the device-computed bbx fields above
+    _HEAVY_SNAPSHOT_KEYS = ("md_world", "d_obj", "d_valid_f", "ms", "s_valid_any")
+
+    def _device_outputs_lite(self, st):
+        dev = self._device_outputs(st)
+        for k in self._HEAVY_SNAPSHOT_KEYS:
+            dev.pop(k)
+        return dev
+
+    def device_output_snapshot(self):
+        """The current frame's full output snapshot, ON DEVICE (no sync) —
+        pair with `materialize_output` at drain time."""
+        return self._jit_outputs(self.state)
+
     def _extract_output(self, packet: VisionPacket) -> BackendOutput:
-        st = self.state
-        dev = jax.tree.map(np.asarray, self._jit_outputs(st))
+        return self.materialize_output(
+            self.device_output_snapshot(), int(packet.frame_id)
+        )
+
+    def materialize_output(self, dev, frame_id: int) -> BackendOutput:
+        """Host BackendOutput from a device snapshot (order-sensitive: the
+        object-pose propagation is sequential — call in frame order).
+
+        Lite (deferred-throughput) snapshots omit the landmark tables: the
+        corresponding BackendOutput fields come back empty and the bbx log
+        uses the device-computed bounds instead."""
+        dev = jax.tree.map(np.asarray, dev)
         X = dev["X"]
-        obj_ids = np.asarray(st.obj_ids)
+        obj_ids = dev["obj_ids"]
         H = dev["H"]
         H_valid = dev["H_valid"]
-        f = int(st.num_frames) - 1
 
-        d_obj = np.asarray(st.d_obj)
-        d_valid = np.asarray(st.d_valid[:, f])
-        md = dev["md_world"]
+        lite = "md_world" not in dev
+        Ld = self.state.Ld
+        d_obj = dev["d_obj"] if not lite else np.full((Ld,), -1, np.int32)
+        d_valid = dev["d_valid_f"] if not lite else np.zeros((Ld,), bool)
+        md = dev["md_world"] if not lite else np.zeros((Ld, 3), np.float32)
         if self.hybrid or self.wcpe:
-            # hybrid/WCPE: object poses are direct state
+            # hybrid/WCPE: object poses are direct state. Open slots win over
+            # closed epochs sharing the id (the closed epoch's pose at the
+            # latest frame is stale — its H stopped updating at the break).
             obj_poses = dev["obj_pose"]
+            open_np = dev["slot_open"]
             for j, oid in enumerate(obj_ids):
-                if int(oid) > 0:
-                    self.object_poses[int(oid)] = obj_poses[j]
+                oid = int(oid)
+                if oid > 0 and (open_np[j] or oid not in self.object_poses):
+                    self.object_poses[oid] = obj_poses[j]
         else:
             # WCME: propagate L_k = H_k * L_{k-1}, centroid-initialised
             # (reference propogateObjectPoses, MotionSolver.cc:580-590).
@@ -357,19 +499,22 @@ class RegularBackend:
                     self.object_poses[oid] = L0
                 obj_poses[j] = self.object_poses[oid]
 
-        s_valid = np.asarray(st.s_valid).any(axis=0)
-        d_oid = np.full(st.Ld, -1, np.int32)
+        Ls = self.state.Ls
+        s_valid = dev["s_valid_any"] if not lite else np.zeros((Ls,), bool)
+        d_oid = np.full(d_obj.shape[0], -1, np.int32)
         mask = d_obj >= 0
         d_oid[mask] = obj_ids[d_obj[mask]]
 
         return BackendOutput(
-            frame_id=int(packet.frame_id),
+            frame_id=frame_id,
             X_world_cam=X,
             object_ids=obj_ids,
             object_motions=H,
             object_motion_valid=H_valid,
             object_poses=obj_poses,
-            static_landmarks=np.asarray(st.ms),
+            static_landmarks=dev["ms"] if not lite else np.zeros(
+                (Ls, 3), np.float32
+            ),
             static_valid=s_valid,
             dynamic_landmarks=md,
             dynamic_valid=d_valid,
@@ -378,6 +523,8 @@ class RegularBackend:
 
     # ------------------------------------------------------------------
     def pose_at(self, frame_id: int) -> Optional[np.ndarray]:
+        if self._marg_n:
+            self.drain_matured()
         if frame_id in self.matured_pose:
             return self.matured_pose[frame_id]
         ids = np.asarray(self.state.frame_ids)
@@ -387,6 +534,8 @@ class RegularBackend:
         return np.asarray(self.state.X[int(hits[0])])
 
     def motion_at(self, frame_id: int, object_id: int) -> Optional[np.ndarray]:
+        if self._marg_n:
+            self.drain_matured()
         if (frame_id, object_id) in self.matured_motion:
             return self.matured_motion[(frame_id, object_id)]
         ids = np.asarray(self.state.frame_ids)
@@ -395,26 +544,28 @@ class RegularBackend:
             return None
         f = int(hits[0])
         obj_ids = np.asarray(self.state.obj_ids)
+        # An id may occupy several slots (hybrid epochs after re-entry
+        # breaks); their valid frames are disjoint — take the slot whose
+        # motion exists at f.
         js = np.nonzero(obj_ids == object_id)[0]
-        if len(js) == 0:
-            return None
-        j = int(js[0])
-        if not bool(self.state.H_valid[j, f]):
-            return None
         fprev = max(f - 1, 0)
-        if self.hybrid:
-            # F2F needs the f-1 reference: a motion variable there, or the
-            # object's keyframe slot (H_{e,e} = I)
-            if f == 0 or not (
-                bool(self.state.H_valid[j, fprev])
-                or int(self.state.kf_slot[j]) == fprev
-            ):
-                return None
-            return np.asarray(hybrid.f2f_motion(self.state, f)[j])
-        if self.wcpe:
-            from dynosam_tpu.backend import wcpe
+        for j in (int(x) for x in js):
+            if not bool(self.state.H_valid[j, f]):
+                continue
+            if self.hybrid:
+                # F2F needs the f-1 reference: a motion variable there, or
+                # the object's keyframe slot (H_{e,e} = I)
+                if f == 0 or not (
+                    bool(self.state.H_valid[j, fprev])
+                    or int(self.state.kf_slot[j]) == fprev
+                ):
+                    continue
+                return np.asarray(hybrid.f2f_motion(self.state, f)[j])
+            if self.wcpe:
+                from dynosam_tpu.backend import wcpe
 
-            if f == 0 or not bool(self.state.H_valid[j, fprev]):
-                return None
-            return np.asarray(wcpe.f2f_motion(self.state, f)[j])
-        return np.asarray(self.state.H[j, f])
+                if f == 0 or not bool(self.state.H_valid[j, fprev]):
+                    continue
+                return np.asarray(wcpe.f2f_motion(self.state, f)[j])
+            return np.asarray(self.state.H[j, f])
+        return None

@@ -68,6 +68,15 @@ class GraphState:
     kf_valid: jnp.ndarray    # (J,) bool — object slot has an anchor
     kf_slot: jnp.ndarray     # (J,) int32 window slot of the keyframe
                              # (-1 once it slides out; H_{e,e}=I is fixed)
+    # Epoch discipline (reference KeyFrameData ranges, HybridEstimator.hpp:
+    # 1154-1177): a slot is one (object, epoch). When a hybrid object's
+    # motion chain breaks (occlusion / tracklet loss) and the object
+    # re-enters, the old slot is CLOSED (stops matching packet ids; its
+    # in-window factors keep optimizing) and a fresh slot is allocated with
+    # a new keyframe anchor — the new epoch never chains through the gap.
+    # Closed slots recycle at advance once their last in-window data rolls
+    # out. Invariant: obj_ids < 0 implies slot_open.
+    slot_open: jnp.ndarray   # (J,) bool — slot accepts matches/observations
     # Linear(ised) marginal prior from slid-out frames: 0.5|L(dx) + b|^2 on
     # the stacked tangent of [poses, motions] (see solver.marginalize).
     prior_L: jnp.ndarray     # (D, D) sqrt-information (D = 6F + 6JF)
@@ -129,6 +138,7 @@ def empty_graph(cfg: BackendParams, dtype=jnp.float32) -> GraphState:
         L_e=jnp.broadcast_to(eye, (J, 4, 4)),
         kf_valid=jnp.zeros((J,), bool),
         kf_slot=jnp.full((J,), -1, jnp.int32),
+        slot_open=jnp.ones((J,), bool),
         prior_L=jnp.zeros((D, D), dtype),
         prior_b=jnp.zeros((D,), dtype),
         prior_lin_X=jnp.broadcast_to(eye, (F, 4, 4)),
@@ -141,16 +151,21 @@ def empty_graph(cfg: BackendParams, dtype=jnp.float32) -> GraphState:
 # Packet ingestion
 # ---------------------------------------------------------------------------
 
-def _match_or_allocate_objects(obj_ids, packet_obj_ids, packet_obj_valid):
+def _match_or_allocate_objects(obj_ids, packet_obj_ids, packet_obj_valid,
+                               slot_open=None):
     """Map packet object ids onto graph object slots, allocating new slots.
 
     Returns (new_obj_ids (J,), packet_slot (Jp,) int32 slot per packet entry).
-    Pure array code: J x Jp comparison matrices.
+    Pure array code: J x Jp comparison matrices. Closed slots
+    (slot_open=False — a finished hybrid epoch) never match: their id
+    re-entering allocates a fresh slot.
     """
     J = obj_ids.shape[0]
     present = packet_obj_valid & (packet_obj_ids > 0)
     # Existing matches.
     eq = obj_ids[:, None] == packet_obj_ids[None, :]          # (J, Jp)
+    if slot_open is not None:
+        eq = eq & slot_open[:, None]
     has_match = jnp.any(eq & present[None, :], axis=0)        # (Jp,)
     match_slot = jnp.argmax(eq, axis=0).astype(jnp.int32)     # (Jp,)
 
@@ -249,7 +264,8 @@ def update_from_packet(
 
     # ---- objects ----------------------------------------------------------
     obj_ids, packet_slot = _match_or_allocate_objects(
-        state.obj_ids, packet.object_ids, packet.object_valid
+        state.obj_ids, packet.object_ids, packet.object_valid,
+        slot_open=state.slot_open,
     )
     # Motion variable init for this frame per object slot.
     eyeb = jnp.broadcast_to(jnp.eye(4, dtype=dtype), packet.object_motions.shape)
@@ -276,8 +292,9 @@ def update_from_packet(
             cfg.noise.dynamic_pixel_noise_sigma, intr, cfg,
         )
     )
-    # object slot per tracklet: map dt.object_id through obj_ids
-    eq = dt.object_id[:, None] == obj_ids[None, :]            # (Ld, J)
+    # object slot per tracklet: map dt.object_id through obj_ids (open
+    # slots only — a closed epoch's id belongs to its freshly allocated slot)
+    eq = (dt.object_id[:, None] == obj_ids[None, :]) & state.slot_open[None, :]
     d_slot_new = jnp.where(
         jnp.any(eq, axis=1), jnp.argmax(eq, axis=1).astype(jnp.int32), -1
     )
@@ -343,10 +360,37 @@ def update_from_packet_hybrid(
         H_{e, f} = I (fixed — kf_slot marks it, no motion variable there);
       * existing objects initialise H_{e,f} = H_f2f(packet) * H_{e,f-1};
       * a tracklet's first observation initialises
-        m_L = L_e^{-1} H_{e,f}^{-1} m_f^W.
+        m_L = L_e^{-1} H_{e,f}^{-1} m_f^W;
+      * RE-ENTRY starts a new epoch (reference KeyFrameData ranges,
+        HybridEstimator.hpp:1154-1177; requiresSampling on mask collapse,
+        FeatureTracker.cc:1018): if an object's id is in the packet but its
+        slot cannot chain a motion to f-1 (occlusion gap / tracklet break),
+        the slot is CLOSED and the id re-allocates a fresh slot with a new
+        keyframe anchor — instead of chaining H through the gap, which
+        produced meter-scale motion errors on re-entry frames (VERDICT r3).
     """
     f = state.num_frames  # slot to be filled by the base ingestion
-    prev_obj_ids = state.obj_ids
+    fprev = jnp.maximum(f - 1, 0)
+    pkt_present = packet.object_valid & (packet.object_ids > 0)
+    id_in_pkt = jnp.any(
+        state.obj_ids[:, None]
+        == jnp.where(pkt_present, packet.object_ids, -2)[None, :],
+        axis=1,
+    )
+    can_chain = jnp.take(state.H_valid, fprev, axis=1) | (
+        state.kf_slot == fprev
+    )
+    broken = (
+        (state.obj_ids > 0)
+        & state.slot_open
+        & state.kf_valid
+        & (f >= 2)
+        & ~can_chain
+        & id_in_pkt
+    )
+    state = state.replace(slot_open=state.slot_open & ~broken)
+
+    prev_obj_ids = jnp.where(state.slot_open, state.obj_ids, -2)
     base = update_from_packet(state, packet, intr, cfg)
     dtype = base.X.dtype
     J, Ld, F = base.J, base.Ld, base.F
@@ -406,8 +450,16 @@ def update_from_packet_hybrid(
     H_valid = base.H_valid.at[:, f].set(H_valid_col)
 
     # ---- object-frame point init for first observations -------------------
-    first_obs = d_obs_valid & (
-        (dt.tracklet_id != state.d_tid) | ~jnp.any(state.d_valid, axis=1)
+    # A tracklet that survived an epoch break switches d_obj to the fresh
+    # slot: its m_L must be re-expressed in the NEW keyframe (its old-epoch
+    # observation columns are masked by _obs_mask — the new slot's H is not
+    # a variable there).
+    slot_switched = d_obs_valid & (base.d_obj != state.d_obj) & (
+        state.d_obj >= 0
+    )
+    first_obs = slot_switched | (
+        d_obs_valid
+        & ((dt.tracklet_id != state.d_tid) | ~jnp.any(state.d_valid, axis=1))
     )
     Hj = lie.einsum("lj,jab->lab", onehot, H_init)          # (Ld, 4, 4)
     Lj = lie.einsum("lj,jab->lab", onehot, L_e)

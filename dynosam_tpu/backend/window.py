@@ -579,9 +579,35 @@ def advance_hybrid(state: GraphState, cfg: BackendParams) -> GraphState:
     common factor) and bakes it into the prior at every advance. Known trade
     of keeping e fixed: the hat(q) lever arm in the H-Jacobian grows with
     object travel from its first observation; bounded by windowed object
-    lifetimes at the horizons we run (<= a few hundred frames)."""
+    lifetimes at the horizons we run (<= a few hundred frames).
+
+    Slot recycling: after the roll, an object slot with no in-window motion
+    variables, no in-window keyframe, and no live tracklet referencing it is
+    FREED (obj_ids=-1, re-opened) — finished epochs (slot_open=False after a
+    re-entry break, graph.py) and long-departed objects stop occupying the
+    padded J axis, so sequences with many more than J concurrent+historic
+    objects (KITTI 0020 carries >30) run at J = max *concurrent* objects."""
     M, g = _departing_information_hybrid(state, cfg)
-    return _eliminate_and_roll(state, cfg, M, g)
+    state = _eliminate_and_roll(state, cfg, M, g)
+    obs_any = jnp.any(state.d_valid, axis=1)                  # (Ld,)
+    ref = (
+        jax.ops.segment_sum(
+            obs_any.astype(jnp.int32),
+            jnp.where(state.d_obj >= 0, state.d_obj, state.J),
+            num_segments=state.J + 1,
+        )[: state.J]
+        > 0
+    )
+    live = jnp.any(state.H_valid, axis=1) | (
+        state.kf_valid & (state.kf_slot >= 0)
+    ) | ref
+    free = (state.obj_ids > 0) & ~live
+    return state.replace(
+        obj_ids=jnp.where(free, -1, state.obj_ids),
+        kf_valid=state.kf_valid & ~free,
+        kf_slot=jnp.where(free, -1, state.kf_slot),
+        slot_open=state.slot_open | free,
+    )
 
 
 # ---------------------------------------------------------------------------

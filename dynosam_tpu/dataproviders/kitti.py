@@ -270,12 +270,15 @@ class KittiDataProvider:
             if oid in prev and k > 0:
                 L_w_prev = self._poses[k - 1] @ prev[oid]
                 motions[j] = L_w @ np.linalg.inv(L_w_prev)
+        # HOST arrays: ground truth is only consumed host-side (logging /
+        # evaluation); device-putting it costs a device->host round trip PER
+        # FIELD at every log row on tunneled runtimes.
         return GroundTruthFrame(
-            X_world_cam=jnp.asarray(X, jnp.float32),
-            object_ids=jnp.asarray(ids),
-            object_poses=jnp.asarray(poses, jnp.float32),
-            object_motions=jnp.asarray(motions, jnp.float32),
-            object_valid=jnp.asarray(valid),
+            X_world_cam=np.asarray(X, np.float32),
+            object_ids=ids,
+            object_poses=np.asarray(poses, np.float32),
+            object_motions=np.asarray(motions, np.float32),
+            object_valid=valid,
         )
 
     def __iter__(self):

@@ -265,12 +265,14 @@ class OmdDataProvider:
                     np.linalg.inv(self._pose_raw[k - 1]) @ prev[oid]
                 )
                 motions[j] = L_w @ np.linalg.inv(L_w_prev)
+        # HOST arrays: GT is only consumed host-side (logging/eval);
+        # device-putting it costs a round trip per field per log row
         return GroundTruthFrame(
-            X_world_cam=jnp.asarray(X, jnp.float32),
-            object_ids=jnp.asarray(ids),
-            object_poses=jnp.asarray(poses, jnp.float32),
-            object_motions=jnp.asarray(motions, jnp.float32),
-            object_valid=jnp.asarray(valid),
+            X_world_cam=np.asarray(X, np.float32),
+            object_ids=np.asarray(ids, np.int32),
+            object_poses=np.asarray(poses, np.float32),
+            object_motions=np.asarray(motions, np.float32),
+            object_valid=np.asarray(valid, bool),
         )
 
     def __iter__(self):

@@ -180,11 +180,11 @@ class TartanAirShibuyaDataProvider:
             return None
         J = self.max_objects
         return GroundTruthFrame(
-            X_world_cam=jnp.asarray(self._poses[k], jnp.float32),
-            object_ids=jnp.full((J,), -1, jnp.int32),
-            object_poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (J, 1, 1)),
-            object_motions=jnp.tile(jnp.eye(4, dtype=jnp.float32), (J, 1, 1)),
-            object_valid=jnp.zeros((J,), bool),
+            X_world_cam=np.asarray(self._poses[k], np.float32),
+            object_ids=np.full((J,), -1, np.int32),
+            object_poses=np.tile(np.eye(4, dtype=np.float32), (J, 1, 1)),
+            object_motions=np.tile(np.eye(4, dtype=np.float32), (J, 1, 1)),
+            object_valid=np.zeros((J,), bool),
         )
 
     def __iter__(self):

@@ -140,6 +140,18 @@ class DatasetEvaluator:
                 # an RMS while the typical-frame accuracy is the median
                 entry["ame_trans_median"] = float(np.median(ame.trans_errors))
                 entry["ame_rot_median"] = float(np.median(ame.rot_errors))
+                # Per-frame error trace + the frames dominating the RMS —
+                # catastrophic frames (re-entry, occlusion) must be visible,
+                # not averaged away (VERDICT r3 #2).
+                entry["ame_trace"] = [
+                    [int(f), round(float(e), 4)]
+                    for f, e in zip(frames, ame.trans_errors)
+                ]
+                worst = np.argsort(ame.trans_errors)[::-1][:5]
+                entry["worst_frames"] = [
+                    [int(frames[i]), round(float(ame.trans_errors[i]), 4)]
+                    for i in worst
+                ]
                 # RME needs GT object poses at k-1 and k
                 if oid in poses and poses[oid][2] is not None:
                     pf, _, L_gt = poses[oid]

@@ -20,11 +20,13 @@ import threading
 from typing import Iterable, Iterator, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dynosam_tpu.backend.backend import BackendOutput, RegularBackend
 from dynosam_tpu.config import DynoConfig
 from dynosam_tpu.cv import camera as cam
+from dynosam_tpu.utils.packing import build_packer
 from dynosam_tpu.frontend.frontend import empty_frontend_state, frontend_step
 from dynosam_tpu.frontend.types import FrameInputs, GroundTruthFrame, VisionPacket
 from dynosam_tpu.utils import lie
@@ -84,11 +86,25 @@ class DynoPipeline:
         self.logger = (
             EstimationModuleLogger(module_name, output_path) if output_path else None
         )
+        # Parallel "frontend" module log (reference logs frontend and
+        # backend modules separately): the pre-optimization estimates, so
+        # evaluation can report the backend's value-add, not assume it.
+        self.frontend_logger = (
+            EstimationModuleLogger("frontend", output_path) if output_path else None
+        )
         self.trajectory: List[np.ndarray] = []   # backend camera poses
         self.last_packet: Optional[VisionPacket] = None
         self.frontend_trajectory: List[np.ndarray] = []
         self.outputs: List[BackendOutput] = []
         self._gts: List[Optional[GroundTruthFrame]] = []
+        # Throughput mode (PipelineParams.defer_host_outputs): per-frame
+        # records are PACKED into one device ring buffer and drained in one
+        # transfer — see config.py and utils/packing.py for the rationale.
+        self._defer = cfg.pipeline.defer_host_outputs
+        self.backend.defer_margin = self._defer
+        self._pending_gts: List = []
+        self._snap_buf = None          # (drain_every, width) device f32
+        self._snap_pack = None         # built lazily from the first frame
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -98,6 +114,29 @@ class DynoPipeline:
             t = Timer("pipeline.detector").start()
             inputs = inputs.replace(mask=self.detector.process(inputs.rgb))
             t.stop(block_on=inputs.mask)
+
+        if self._defer:
+            # no per-frame host syncs: frontend + backend dispatches stay
+            # async; the output snapshot is packed into one device ring
+            # buffer and drained in ONE transfer (finish() or every
+            # drain_every frames)
+            self.frontend_state, packet = self._frontend_step(
+                self.frontend_state, inputs
+            )
+            self.backend.step(packet, extract=False)
+            if self._snap_pack is None:
+                self._build_snap_packer(packet)
+            self._snap_buf = self._jit_snap_write(
+                self._snap_buf,
+                jnp.asarray(len(self._pending_gts), jnp.int32),
+                self.backend.state,
+                packet,
+            )
+            self._pending_gts.append(gt)
+            self.last_packet = packet
+            if len(self._pending_gts) >= self.cfg.pipeline.drain_every:
+                self._drain_outputs()
+            return None
 
         t = Timer("pipeline.frontend").start()
         self.frontend_state, packet = self._frontend_step(self.frontend_state, inputs)
@@ -114,7 +153,80 @@ class DynoPipeline:
         self.last_packet = packet
         if self.logger is not None:
             self._log(packet, out, gt)
+        if self.frontend_logger is not None:
+            self._log_frontend(packet, gt)
         return out
+
+    def _build_snap_packer(self, packet: VisionPacket):
+        """Lazy-build the snapshot packer + ring buffer + write jit from the
+        first real frame's shapes."""
+        dev_shapes = jax.eval_shape(
+            self.backend._device_outputs_lite, self.backend.state
+        )
+        rec_shapes = dict(dev_shapes)
+        for k, v in self._pk_fields(packet).items():
+            rec_shapes[k] = jax.ShapeDtypeStruct(v.shape, v.dtype)
+        pack, unpack, width = build_packer(rec_shapes)
+        self._snap_pack, self._snap_unpack = pack, unpack
+        self._snap_buf = jnp.zeros(
+            (self.cfg.pipeline.drain_every, width), jnp.float32
+        )
+
+        def write(buf, i, state, pkt):
+            rec = dict(self.backend._device_outputs_lite(state))
+            rec.update(self._pk_fields(pkt))
+            return buf.at[i].set(pack(rec))
+
+        self._jit_snap_write = jax.jit(write, donate_argnums=0)
+
+    @staticmethod
+    def _pk_fields(packet: VisionPacket):
+        return {
+            "pk_frame_id": packet.frame_id,
+            "pk_X_world_cam": packet.X_world_cam,
+            "pk_object_ids": packet.object_ids,
+            "pk_object_motions": packet.object_motions,
+            "pk_object_valid": packet.object_valid,
+        }
+
+    def _drain_outputs(self):
+        """Materialize + log the deferred per-frame records, in order.
+
+        The whole backlog arrives in ONE device->host transfer (the packed
+        ring buffer) — per-array pulls cost a full round trip each (~60-85
+        ms tunneled, measured size-independent), so a naive per-frame drain
+        of ~20 arrays costs minutes while the compute takes <1 s."""
+        gts, self._pending_gts = self._pending_gts, []
+        if not gts:
+            return
+        rows = np.asarray(self._snap_buf[: len(gts)])   # the one transfer
+        for i, gt in enumerate(gts):
+            rec = self._snap_unpack(rows[i])
+            pk_i = {k[3:]: v for k, v in rec.items() if k.startswith("pk_")}
+            dev_i = {k: v for k, v in rec.items() if not k.startswith("pk_")}
+            out = self.backend.materialize_output(dev_i, int(pk_i["frame_id"]))
+            self.frontend_trajectory.append(pk_i["X_world_cam"])
+            self.trajectory.append(out.X_world_cam)
+            self.outputs.append(out)
+            self._gts.append(gt)
+            if self.logger is not None:
+                self._log_np(pk_i, out, gt)
+                # bbx rows from the device-computed bounds (the lite
+                # snapshot omits the landmark tables the eager path uses)
+                for j, oid in enumerate(out.object_ids):
+                    oid = int(oid)
+                    if (
+                        oid > 0
+                        and out.object_motion_valid[j]
+                        and dev_i["bbx_ok"][j]
+                    ):
+                        self.logger.log_object_bbx(
+                            int(pk_i["frame_id"]), oid,
+                            dev_i["bbx_min"][j], dev_i["bbx_max"][j],
+                            out.object_poses[j],
+                        )
+            if self.frontend_logger is not None:
+                self._log_frontend_np(pk_i, gt)
 
     def run(
         self,
@@ -134,6 +246,13 @@ class DynoPipeline:
         return self.outputs
 
     def finish(self):
+        # idempotent: run() already finishes; a second explicit finish() must
+        # not re-log into closed CSV files
+        if getattr(self, "_finished", False):
+            return
+        self._finished = True
+        if self._defer:
+            self._drain_outputs()
         if self.cfg.backend.optimization_mode == 0:
             self.backend.finish()
         # Mature estimates: full-batch takes everything from the final solve;
@@ -147,6 +266,8 @@ class DynoPipeline:
                 self.trajectory[fid] = X
         if self.logger is not None:
             self._relog_final()
+        if self.frontend_logger is not None:
+            self.frontend_logger.close()
         if self.logger is not None:
             self.logger.close()
             # shutdown dump (PipelineManager.cc:146-147): per-tag timing
@@ -198,6 +319,41 @@ class DynoPipeline:
                         L_gt = np.asarray(gt.object_poses[int(hit[0])])
                 self.logger.log_object_motion(fid, oid, H, H_gt)
                 self.logger.log_object_pose(fid, oid, L_cur[oid], L_gt)
+
+    def _log_np(self, pk_np, out: BackendOutput, gt):
+        """Deferred-drain variant of _log (same rows, numpy inputs)."""
+        self._log(None, out, gt)
+
+    def _log_frontend_np(self, pk_np, gt):
+        """Deferred-drain variant of _log_frontend from the stacked pull."""
+        self._log_frontend_rows(
+            int(pk_np["frame_id"]), pk_np["X_world_cam"],
+            pk_np["object_ids"], pk_np["object_valid"],
+            pk_np["object_motions"], gt,
+        )
+
+    def _log_frontend(self, packet: VisionPacket, gt):
+        self._log_frontend_rows(
+            int(packet.frame_id), np.asarray(packet.X_world_cam),
+            np.asarray(packet.object_ids), np.asarray(packet.object_valid),
+            np.asarray(packet.object_motions), gt,
+        )
+
+    def _log_frontend_rows(self, fid, X, obj_ids, obj_valid, motions, gt):
+        """Log the frontend's own estimates under the 'frontend' module."""
+        gt_X = np.asarray(gt.X_world_cam) if gt is not None else None
+        self.frontend_logger.log_camera_pose(fid, X, gt_X)
+        for j, oid in enumerate(obj_ids):
+            oid = int(oid)
+            if oid <= 0 or not obj_valid[j]:
+                continue
+            H_gt = None
+            if gt is not None:
+                gids = np.asarray(gt.object_ids)
+                hit = np.nonzero(gids == oid)[0]
+                if len(hit):
+                    H_gt = np.asarray(gt.object_motions[int(hit[0])])
+            self.frontend_logger.log_object_motion(fid, oid, motions[j], H_gt)
 
     # ------------------------------------------------------------------
     def _log(self, packet: VisionPacket, out: BackendOutput, gt):

@@ -19,12 +19,47 @@ from typing import Optional
 
 import numpy as np
 
-from dynosam_tpu.utils import lie
+
+def _rot_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """Pure-numpy rotation->quaternion (xyzw), Shepperd's method.
+
+    The logger writes thousands of rows per run; calling the JAX lie.rot_to
+    _quat here dispatched a tiny device program (plus a blocking pull) PER
+    CSV ROW — measured ~45 s of a 60-frame real-io run on the tunneled TPU.
+    """
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([x, y, z, w])
+    return q / np.linalg.norm(q)
 
 
 def _pose_to_row(T) -> list:
     T = np.asarray(T)
-    q = np.asarray(lie.rot_to_quat(T[:3, :3]))
+    q = _rot_to_quat_np(T[:3, :3])
     t = T[:3, 3]
     return [t[0], t[1], t[2], q[0], q[1], q[2], q[3]]  # tx ty tz qx qy qz qw
 

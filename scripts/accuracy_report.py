@@ -133,26 +133,37 @@ def run_config_dataset(ds, formulation: int, mode: int, num_frames: int):
             rep = json.load(f)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    mod = next(iter(rep.values()))
-    cam_stats = mod["camera"]
-    objs = mod.get("objects", {})
-    ame_t = [o["ame_trans_rmse"] for o in objs.values()]
-    ame_r = [o["ame_rot_rmse"] for o in objs.values()]
-    med_t = [o.get("ame_trans_median", float("nan")) for o in objs.values()]
-    med_r = [o.get("ame_rot_median", float("nan")) for o in objs.values()]
-    n = sum(o["n_frames"] for o in objs.values())
-    return dict(
-        ate_t=cam_stats["ate_unaligned_trans_rmse"],
-        ate_r=cam_stats["ate_rot_rmse"],
-        rpe_t=cam_stats["rpe_trans_rmse"],
-        ame_t=float(np.sqrt(np.mean(np.square(ame_t)))) if ame_t else float("nan"),
-        ame_r=float(np.sqrt(np.mean(np.square(ame_r)))) if ame_r else float("nan"),
-        # median over frames, averaged over objects: the typical-frame error
-        # (RMS is dominated by information-poor re-entry/occlusion frames)
-        ame_t_med=float(np.mean(med_t)) if med_t else float("nan"),
-        ame_r_med=float(np.mean(med_r)) if med_r else float("nan"),
-        n_motions=n,
-    )
+    def summarize(mod):
+        cam_stats = mod["camera"]
+        objs = mod.get("objects", {})
+        ame_t = [o["ame_trans_rmse"] for o in objs.values()]
+        ame_r = [o["ame_rot_rmse"] for o in objs.values()]
+        med_t = [o.get("ame_trans_median", float("nan")) for o in objs.values()]
+        med_r = [o.get("ame_rot_median", float("nan")) for o in objs.values()]
+        n = sum(o["n_frames"] for o in objs.values())
+        return dict(
+            ate_t=cam_stats["ate_unaligned_trans_rmse"],
+            ate_r=cam_stats["ate_rot_rmse"],
+            rpe_t=cam_stats["rpe_trans_rmse"],
+            ame_t=float(np.sqrt(np.mean(np.square(ame_t)))) if ame_t else float("nan"),
+            ame_r=float(np.sqrt(np.mean(np.square(ame_r)))) if ame_r else float("nan"),
+            # median over frames, averaged over objects: the typical-frame
+            # error (RMS is dominated by information-poor re-entry/occlusion
+            # frames)
+            ame_t_med=float(np.mean(med_t)) if med_t else float("nan"),
+            ame_r_med=float(np.mean(med_r)) if med_r else float("nan"),
+            n_motions=n,
+        )
+
+    res = summarize(rep["dynosam_tpu"])
+    # frontend contrast columns (pre-optimization estimates, logged as their
+    # own module) — the backend's value-add is measured, not assumed
+    if "frontend" in rep and "camera" in rep["frontend"]:
+        fe = summarize(rep["frontend"])
+        res["fe_ate_t"] = fe["ate_t"]
+        res["fe_ame_t"] = fe["ame_t"]
+        res["fe_ame_t_med"] = fe["ame_t_med"]
+    return res
 
 
 FORMS = {0: "WCME", 1: "WCPE", 3: "Hybrid"}

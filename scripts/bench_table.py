@@ -168,6 +168,7 @@ def row_real_io(fixture="tests/fixtures/kitti_fixture", frames=60):
         DynoConfig,
         FrontendParams,
         OptimizerParams,
+        PipelineParams,
         TrackerParams,
     )
     from dynosam_tpu.dataproviders.base import create_dataset
@@ -191,23 +192,31 @@ def row_real_io(fixture="tests/fixtures/kitti_fixture", frames=60):
             max_frames=8,
             optimizer=OptimizerParams(max_iterations=2),
         ),
+        # throughput mode: zero per-frame host syncs — outputs/mature
+        # estimates stay on device and drain in bulk (round 3's 0.43 FPS
+        # was ~6 blocking ~20 ms tunnel round-trips per frame)
+        pipeline=PipelineParams(defer_host_outputs=True),
     )
     out_dir = tempfile.mkdtemp(prefix="benchreal_")
     try:
         n = min(frames, len(ds))
         pipe = DynoPipeline(cfg, ds.intrinsics(), output_path=out_dir)
-        # warm the jits on frame 0 outside the timed region (compile time is
-        # a one-off; steady-state throughput is the metric)
-        pipe.process_frame(ds.frame(0), ds.ground_truth(0))
+        # warm ALL the jits outside the timed region — the window-full
+        # programs (advance/margin/warm-optimize) only trigger at frame
+        # max_frames, so warming frame 0 alone left ~90 s of compile inside
+        # the round-3 timing (the 0.43 FPS row was mostly compile)
+        warm = cfg.backend.max_frames + 2
+        for k in range(warm):
+            pipe.process_frame(ds.frame(k), ds.ground_truth(k))
         t0 = time.time()
         pipe.run(
-            (ds.frame(k) for k in range(1, n)),
-            (ds.ground_truth(k) for k in range(1, n)),
+            (ds.frame(k) for k in range(warm, n)),
+            (ds.ground_truth(k) for k in range(warm, n)),
         )
         dt = time.time() - t0
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    return (n - 1) / dt, float("nan")
+    return (n - warm) / dt, float("nan")
 
 
 def main():

@@ -164,6 +164,22 @@ def main():
         H2 = np.asarray(hybrid_mod.f2f_motion(st2, f))
         print(f"f2f@{f} max |delta|: {np.abs(H2 - H0).max():.6g}")
 
+        # JOINT solve from the same init (the reference's updateBatch is a
+        # joint LM over the full graph; decoupling is a streaming feature)
+        def solve_joint(lin):
+            return _clip_step(chol_solve(lin.S, lin.rhs), op.gn_max_step)
+
+        tr3 = jax.jit(
+            lambda s: err_trace(s, bcfg, linearize, _apply_update,
+                                solve_joint, total_error, iters)
+        )
+        st3, e0c, errs3, acc3, dn3 = tr3(st0)
+        print(f"JOINT err0={float(e0c):.6g}")
+        print("  errs:", np.array2string(np.asarray(errs3), precision=5))
+        print("  accepts:", np.asarray(acc3).astype(int))
+        H3 = np.asarray(hybrid_mod.f2f_motion(st3, f))
+        print(f"joint f2f@{f} max |delta| vs init: {np.abs(H3 - H0).max():.6g}")
+
 
 if __name__ == "__main__":
     main()

@@ -200,6 +200,41 @@ class TestPrefetchDeterminism:
         assert os.path.exists(os.path.join(out, "statistics_samples.csv"))
         assert os.path.exists(os.path.join(out, "statistics_summary.txt"))
 
+    def test_deferred_outputs_equal_eager(self, tmp_path):
+        """defer_host_outputs (throughput mode: zero per-frame host syncs)
+        must produce byte-identical trajectories, outputs, and CSV logs —
+        the drain is a pure time-shift of the host work."""
+        dense = default_dense_scenario(num_frames=6)
+        frames = [dense.frame(k) for k in range(6)]
+
+        out_e = str(tmp_path / "eager")
+        p_e = DynoPipeline(self._cfg(), dense.intr, output_path=out_e)
+        p_e.run(frames)
+
+        cfg_d = self._cfg()
+        cfg_d.pipeline.defer_host_outputs = True
+        cfg_d.pipeline.drain_every = 3  # exercise a mid-run drain too
+        out_d = str(tmp_path / "defer")
+        p_d = DynoPipeline(cfg_d, dense.intr, output_path=out_d)
+        for f in frames:
+            assert p_d.process_frame(f) is None  # documented: no per-frame out
+        p_d.finish()
+
+        assert len(p_d.outputs) == len(p_e.outputs) == 6
+        np.testing.assert_allclose(
+            np.stack(p_e.trajectory), np.stack(p_d.trajectory), atol=1e-6
+        )
+        for a, b in zip(p_e.outputs, p_d.outputs):
+            np.testing.assert_allclose(a.X_world_cam, b.X_world_cam, atol=1e-6)
+            np.testing.assert_allclose(
+                a.object_motions, b.object_motions, atol=1e-6
+            )
+            assert (a.object_motion_valid == b.object_motion_valid).all()
+        for name in ("camera_pose", "object_motion", "object_pose"):
+            fe = open(os.path.join(out_e, f"dynosam_tpu_{name}_log.csv")).read()
+            fd = open(os.path.join(out_d, f"dynosam_tpu_{name}_log.csv")).read()
+            assert fe == fd, f"{name} log differs between eager and deferred"
+
 
 class TestBatchRelog:
     """Full-batch logs must reflect the FINAL solve (post-finish), not the
