@@ -5,6 +5,8 @@ Parity targets: /root/reference/dynosam_nn/src/YoloV8ObjectDetector.cc
 (TensorRT pipeline) and YoloV8CudaUtils.cu:23,80 (decode + mask kernels).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -213,6 +215,7 @@ class TestEngine:
             score_threshold=0.0,   # random weights: accept anything
             class_ids=None,
             use_pallas_masks=False,
+            random_weights=True,
         )
         rgb = jnp.asarray(
             np.random.default_rng(0).random((120, 200, 3)), jnp.float32
@@ -260,6 +263,7 @@ class TestPipelineWiring:
         eng = YoloV8DetectorEngine(
             num_classes=4, input_hw=(h, w), max_detections=4,
             score_threshold=0.0, class_ids=None, use_pallas_masks=False,
+            random_weights=True,
         )
         pipe = DynoPipeline(cfg, intr, detector=eng)
         rng = np.random.default_rng(1)
@@ -273,3 +277,25 @@ class TestPipelineWiring:
             )
             out = pipe.process_frame(inp)
         assert np.isfinite(np.asarray(out.X_world_cam)).all()
+
+
+class TestDefaultCheckpoint:
+    def test_default_engine_loads_trained_checkpoint(self):
+        """The engine's DEFAULT construction must run the committed trained
+        weights, not random init (VERDICT r3 #3: the trained net is what the
+        pipeline actually runs); random weights need an explicit flag."""
+        import json
+
+        from dynosam_tpu.nn.detector import CKPT_PATH, YoloV8DetectorEngine
+
+        if not os.path.exists(CKPT_PATH):
+            pytest.skip("trained checkpoint not committed")
+        with open(CKPT_PATH + ".json") as f:
+            meta = json.load(f)
+        eng = YoloV8DetectorEngine(input_hw=(96, 320), use_pallas_masks=False)
+        assert eng.model.num_classes == meta["num_classes"]
+        assert eng.model.scale == meta["scale"]
+        # conflicting explicit config without params must refuse, not
+        # silently fall back to random weights
+        with pytest.raises(ValueError):
+            YoloV8DetectorEngine(num_classes=80, input_hw=(96, 320))
