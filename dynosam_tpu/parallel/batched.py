@@ -176,6 +176,20 @@ def make_batched_pipeline(
 ):
     """vmapped fused step, optionally sharded over `mesh[axis]` (1 sequence
     per shard slot). Returns (jitted_step, init_fn)."""
+    import dataclasses
+
+    # Pallas kernels don't batch under vmap (the TPU lowering rejects the
+    # squeezed leading block); the XLA corner-response path is numerically
+    # identical and fuses fine across the sequence axis.
+    cfg = dataclasses.replace(
+        cfg,
+        frontend=dataclasses.replace(
+            cfg.frontend,
+            tracker=dataclasses.replace(
+                cfg.frontend.tracker, use_pallas_kernels=False
+            ),
+        ),
+    )
     step = make_fused_step(cfg, intr)
     batched = jax.vmap(step)
 
