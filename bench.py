@@ -15,6 +15,8 @@ Prints exactly one JSON line on stdout.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,6 +27,14 @@ HEIGHT, WIDTH = 384, 1280
 WARMUP = 5
 MEASURE = 30
 DISTINCT_FRAMES = 8
+
+# Wedged-chip resilience (round-4 postmortem): BENCH_r04 crashed with a TPU
+# FailedPrecondition at the very first device op — a transiently wedged chip,
+# not a code bug (the same program re-ran at 101.8 FPS).  A poisoned TPU
+# client cannot recover in-process, so the benchmark body runs in a CHILD
+# process and the parent retries with a fresh process on any failure.
+MAX_ATTEMPTS = 3
+RETRY_DELAY_S = 20.0
 
 
 def bench_config():
@@ -169,5 +179,50 @@ def main():
     )
 
 
+def supervise():
+    """Run `main()` in child processes, retrying on transient device failures.
+
+    Prints exactly one JSON line on stdout (the successful child's last JSON
+    line); everything else goes to stderr.  Exits non-zero only if every
+    attempt fails.
+    """
+    last_rc = 1
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            text=True,
+            timeout=1800,
+        )
+        last_rc = proc.returncode
+        json_line = None
+        for line in (proc.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "metric" in parsed and "value" in parsed:
+                    json_line = line
+        if proc.returncode == 0 and json_line is not None:
+            print(json_line)
+            return 0
+        print(
+            f"[bench] attempt {attempt}/{MAX_ATTEMPTS} failed "
+            f"(rc={proc.returncode}, json={'yes' if json_line else 'no'})"
+            + (f"; retrying in {RETRY_DELAY_S:.0f}s" if attempt < MAX_ATTEMPTS else ""),
+            file=sys.stderr,
+        )
+        if attempt < MAX_ATTEMPTS:
+            time.sleep(RETRY_DELAY_S)
+    return last_rc or 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        main()
+    else:
+        sys.exit(supervise())

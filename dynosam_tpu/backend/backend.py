@@ -415,6 +415,14 @@ class RegularBackend:
         bbx_min = jnp.min(per, axis=0)                         # (J, 3)
         bbx_max = jnp.max(jnp.where(sel[:, :, None], local[:, None, :], -big), axis=0)
         bbx_ok = jnp.any(sel, axis=0)
+        # per-object WORLD-frame landmark centroid (J, 3) — WCME pose init
+        # for first-seen objects (MotionSolver.cc:580-590 role). Shipped in
+        # the LITE snapshot too: materialize_output must not need the full
+        # landmark tables to initialise object poses.
+        cnt = jnp.sum(sel, axis=0)                             # (J,)
+        obj_centroid = jnp.sum(
+            jnp.where(sel[:, :, None], md_world[:, None, :], 0.0), axis=0
+        ) / jnp.maximum(cnt, 1)[:, None].astype(md_world.dtype)
         return dict(
             X=st.X[f],
             H=H_out,
@@ -430,6 +438,7 @@ class RegularBackend:
             bbx_min=bbx_min,
             bbx_max=bbx_max,
             bbx_ok=bbx_ok,
+            obj_centroid=obj_centroid,
         )
 
     # landmark-table snapshot keys dropped from the DEFERRED pack: they are
@@ -458,8 +467,12 @@ class RegularBackend:
         object-pose propagation is sequential — call in frame order).
 
         Lite (deferred-throughput) snapshots omit the landmark tables: the
-        corresponding BackendOutput fields come back empty and the bbx log
-        uses the device-computed bounds instead."""
+        corresponding BackendOutput fields (static/dynamic_landmarks,
+        *_valid, dynamic_object_ids) come back empty — so the map_points CSV
+        gets no rows in deferred mode — while the bbx log uses the
+        device-computed bounds and WCME pose init uses the device-computed
+        per-object centroid, keeping trajectory/motion/pose/bbx logs
+        identical to the eager path."""
         dev = jax.tree.map(np.asarray, dev)
         X = dev["X"]
         obj_ids = dev["obj_ids"]
@@ -492,8 +505,10 @@ class RegularBackend:
                 if oid in self.object_poses and H_valid[j]:
                     self.object_poses[oid] = H[j] @ self.object_poses[oid]
                 elif oid not in self.object_poses:
-                    pts = md[(d_obj == j) & d_valid]
-                    centroid = pts.mean(axis=0) if len(pts) else np.zeros(3)
+                    # device-computed centroid — present in BOTH full and
+                    # lite snapshots, so WCME pose init survives the
+                    # deferred-throughput path (round-4 advisor finding)
+                    centroid = np.asarray(dev["obj_centroid"][j])
                     L0 = np.eye(4, dtype=X.dtype)
                     L0[:3, 3] = centroid
                     self.object_poses[oid] = L0

@@ -388,6 +388,32 @@ def update_from_packet_hybrid(
         & ~can_chain
         & id_in_pkt
     )
+    # requiresSampling epoch trigger (round-5; reference FeatureTracker.cc:
+    # 1018 + HybridEstimator.hpp:1154-1177): the tracker's mask-IoU-collapse
+    # flag closes the slot even when the motion chain is intact — partial
+    # occlusion contaminates tracks (pixels drift onto the occluder) without
+    # breaking the chain, and the keyframed representation would drag those
+    # frames' error through the rest of the epoch. A fresh epoch re-anchors
+    # on the current (re-sampled) observations. Rate-limited by epoch age so
+    # a deepening occlusion cannot exhaust slots.
+    if cfg.reanchor_on_resample:
+        pkt_res = pkt_present & packet.object_resampled
+        res_hit = jnp.any(
+            state.obj_ids[:, None]
+            == jnp.where(pkt_res, packet.object_ids, -2)[None, :],
+            axis=1,
+        )
+        epoch_young = (state.kf_slot >= 0) & (
+            f - state.kf_slot < cfg.reanchor_min_epoch_len
+        )
+        broken = broken | (
+            (state.obj_ids > 0)
+            & state.slot_open
+            & state.kf_valid
+            & (f >= 2)
+            & res_hit
+            & ~epoch_young
+        )
     state = state.replace(slot_open=state.slot_open & ~broken)
 
     prev_obj_ids = jnp.where(state.slot_open, state.obj_ids, -2)

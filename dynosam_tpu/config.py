@@ -288,6 +288,22 @@ class BackendParams:
     # static TPU program, so it buys the same basin quality with
     # path-following ingestion instead.
     batch_warm_start: bool = True
+    # requiresSampling -> epoch trigger (reference FeatureTracker.cc:1018
+    # requiresSampling + HybridEstimator.hpp:1154-1177 KeyFrameData ranges):
+    # when the tracker flags an object's mask-IoU collapse (tracked-bbox vs
+    # detection-bbox IoU below min_dynamic_mask_iou — the contamination
+    # proxy: during PARTIAL occlusion tracks drift onto the occluder while
+    # keeping label/depth validity, so motions stay "valid" while wrong),
+    # the hybrid formulation CLOSES the object's slot and re-anchors a
+    # fresh keyframe epoch — the same path as a clean chain break. Without
+    # this, the keyframed motion chain drags the contaminated frames'
+    # error through the whole epoch (rich-fixture AME tail, VERDICT r4 #2).
+    reanchor_on_resample: bool = True
+    # minimum epoch age (frames since the current anchor) before a resample
+    # signal may close the slot again — bounds slot-allocation churn during
+    # a deepening occlusion (closed slots only recycle once their window
+    # data rolls out)
+    reanchor_min_epoch_len: int = 3
     noise: NoiseParams = field(default_factory=NoiseParams)
     optimizer: OptimizerParams = field(default_factory=OptimizerParams)
     # Static capacities for device tables.
@@ -309,8 +325,13 @@ class PipelineParams:
     # the device work, dominated real-IO throughput (0.43 FPS in round 3).
     # The role of the reference's pipeline threads (PipelineManager.cc:
     # 221-250): hide host latency off the hot loop. process_frame returns
-    # None in this mode; outputs/trajectory/logs are identical after
-    # finish().
+    # None in this mode. After finish(): trajectories, outputs[] camera/
+    # motion/pose fields, and the camera-pose / object-motion / object-pose
+    # / bbx CSVs are identical to the eager path (pinned by
+    # test_deferred_outputs_equal_eager). NOT preserved: the per-frame
+    # landmark tables (outputs[].static/dynamic_landmarks come back empty)
+    # and therefore the map_points CSV, which gets no rows — shipping the
+    # tables is ~93% of the packed bytes and defeats the mode's purpose.
     defer_host_outputs: bool = False
     drain_every: int = 64
 

@@ -293,6 +293,7 @@ class Scenario:
             object_ids=obj_ids,
             object_motions=motions,
             object_valid=(jnp.arange(max_objects) < J) & (k > 0),
+            object_resampled=jnp.zeros((max_objects,), bool),
             pose_valid=jnp.array(True),
         )
 

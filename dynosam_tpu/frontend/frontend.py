@@ -435,6 +435,7 @@ def frontend_step(
         & (tracker.obj_ids > 0)
         & (obj_match_count >= params.min_object_points)
         & ~obj_stationary,
+        object_resampled=tracker.obj_resampled,
         pose_valid=cam_res.valid | first,
     )
 

@@ -47,6 +47,13 @@ class TrackerState:
     d_valid: jnp.ndarray     # (Nd,) bool
     # object slots (stable across frames, like ByteTrack ids)
     obj_ids: jnp.ndarray     # (J,) int32, -1 free
+    # mask-IoU collapse flag per slot (the contamination subset of the
+    # reference's requiresSampling decision, FeatureTracker.cc:1018): the
+    # tracked-point bbox vs detection bbox IoU fell below
+    # min_dynamic_mask_iou while tracks were still present. Shipped to the
+    # backend as VisionPacket.object_resampled -> hybrid epoch re-anchor.
+    obj_resampled: jnp.ndarray  # (J,) bool
+    obj_mask_iou: jnp.ndarray   # (J,) float — last tracked-vs-detection IoU
     next_tid: jnp.ndarray    # () int32 tracklet id counter
     # object-level tracker for untracked instance masks
     # (prefer_provided_object_detection = False)
@@ -70,6 +77,8 @@ def empty_tracker_state(params: FrontendParams, dtype=jnp.float32) -> TrackerSta
         d_age=jnp.zeros((nd,), jnp.int32),
         d_valid=jnp.zeros((nd,), bool),
         obj_ids=jnp.full((j,), -1, jnp.int32),
+        obj_resampled=jnp.zeros((j,), bool),
+        obj_mask_iou=jnp.ones((j,), dtype),
         next_tid=jnp.array(0, jnp.int32),
         bt_state=bt.empty_state(capacity=2 * j),
     )
@@ -490,6 +499,24 @@ def track_frame(
     # allocate stable slots for object ids present among valid dynamic tracks
     obj_ids = _update_object_slots(state.obj_ids, d_oid, d_valid)
 
+    # mask-IoU collapse signal for the backend epoch trigger: only the
+    # small_iou criterion (with tracks actually present — an empty tracked
+    # bbox is the chain-break path's job), re-aligned onto the NEW slot
+    # table (ids are unique across slots).
+    iou_collapse = (
+        (obj > 0) & (n_tracked > 0) & small_iou & jnp.logical_not(first_frame)
+    )
+    obj_resampled = (obj_ids > 0) & jnp.any(
+        obj_ids[:, None] == jnp.where(iou_collapse, obj, -2)[None, :], axis=1
+    )
+    # per-slot IoU diagnostic, aligned to the new table (1.0 for fresh slots)
+    align = obj_ids[:, None] == jnp.where(obj > 0, obj, -2)[None, :]  # (J, J)
+    obj_mask_iou = jnp.where(
+        jnp.any(align, axis=1),
+        jnp.sum(jnp.where(align, iou[None, :], 0.0), axis=1),
+        1.0,
+    ).astype(dtype)
+
     return state.replace(
         s_uv=s_uv,
         s_depth=s_depth,
@@ -503,6 +530,8 @@ def track_frame(
         d_age=d_age,
         d_valid=d_valid,
         obj_ids=obj_ids,
+        obj_resampled=obj_resampled,
+        obj_mask_iou=obj_mask_iou,
         next_tid=next_tid,
         bt_state=bt_state,
     )

@@ -61,6 +61,10 @@ class VisionPacket:
     object_ids: jnp.ndarray        # (J,) int32 objects seen this frame, -1 pad
     object_motions: jnp.ndarray    # (J, 4, 4) frontend H_w estimates (k-1 -> k)
     object_valid: jnp.ndarray      # (J,) bool — motion estimate valid
+    # tracker requiresSampling signal (mask-IoU collapse subset,
+    # FeatureTracker.cc:1018): the backend's hybrid formulation closes the
+    # object's epoch and re-anchors when set (contaminated-track proxy)
+    object_resampled: jnp.ndarray  # (J,) bool
     pose_valid: jnp.ndarray        # () bool — camera solve succeeded
 
     @classmethod
@@ -75,6 +79,7 @@ class VisionPacket:
             object_ids=jnp.full((max_objects,), -1, jnp.int32),
             object_motions=jnp.broadcast_to(eye, (max_objects, 4, 4)),
             object_valid=jnp.zeros((max_objects,), bool),
+            object_resampled=jnp.zeros((max_objects,), bool),
             pose_valid=jnp.array(False),
         )
 

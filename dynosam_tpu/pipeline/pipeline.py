@@ -152,7 +152,7 @@ class DynoPipeline:
         self._gts.append(gt)
         self.last_packet = packet
         if self.logger is not None:
-            self._log(packet, out, gt)
+            self._log(out, gt)
         if self.frontend_logger is not None:
             self._log_frontend(packet, gt)
         return out
@@ -210,7 +210,7 @@ class DynoPipeline:
             self.outputs.append(out)
             self._gts.append(gt)
             if self.logger is not None:
-                self._log_np(pk_i, out, gt)
+                self._log(out, gt)
                 # bbx rows from the device-computed bounds (the lite
                 # snapshot omits the landmark tables the eager path uses)
                 for j, oid in enumerate(out.object_ids):
@@ -320,10 +320,6 @@ class DynoPipeline:
                 self.logger.log_object_motion(fid, oid, H, H_gt)
                 self.logger.log_object_pose(fid, oid, L_cur[oid], L_gt)
 
-    def _log_np(self, pk_np, out: BackendOutput, gt):
-        """Deferred-drain variant of _log (same rows, numpy inputs)."""
-        self._log(None, out, gt)
-
     def _log_frontend_np(self, pk_np, gt):
         """Deferred-drain variant of _log_frontend from the stacked pull."""
         self._log_frontend_rows(
@@ -356,7 +352,7 @@ class DynoPipeline:
             self.frontend_logger.log_object_motion(fid, oid, motions[j], H_gt)
 
     # ------------------------------------------------------------------
-    def _log(self, packet: VisionPacket, out: BackendOutput, gt):
+    def _log(self, out: BackendOutput, gt):
         fid = out.frame_id
         gt_X = np.asarray(gt.X_world_cam) if gt is not None else None
         self.logger.log_camera_pose(fid, out.X_world_cam, gt_X)

@@ -32,8 +32,22 @@ def build_packer(sample_tree: Dict[str, jax.ShapeDtypeStruct]):
     off = 0
     for k in sorted(sample_tree):
         s = sample_tree[k]
+        dt = np.dtype(s.dtype)
+        # exactness guard: only dtypes that round-trip through float32
+        # lanes are supported. A silent value-cast of f16/f64 (or an int
+        # wider/narrower than 32 bits) would corrupt values/dtypes for any
+        # future field — fail loudly at build time instead.
+        if not (
+            dt == np.float32
+            or dt == np.bool_
+            or (np.issubdtype(dt, np.integer) and dt.itemsize <= 4)
+        ):
+            raise TypeError(
+                f"build_packer: field {k!r} has dtype {dt} — only float32, "
+                "bool, and <=32-bit integers pack exactly into float32 lanes"
+            )
         size = int(np.prod(s.shape)) if s.shape else 1
-        spec.append((k, off, tuple(s.shape), np.dtype(s.dtype)))
+        spec.append((k, off, tuple(s.shape), dt))
         off += size
     width = off
 

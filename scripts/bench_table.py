@@ -208,6 +208,12 @@ def row_real_io(fixture="tests/fixtures/kitti_fixture", frames=60):
         warm = cfg.backend.max_frames + 2
         for k in range(warm):
             pipe.process_frame(ds.frame(k), ds.ground_truth(k))
+        # flush the warm frames' deferred backlog BEFORE the timed region —
+        # otherwise finish() drains/materializes them inside the timing
+        # while only n-warm frames are counted (round-4 advisor finding);
+        # the residual warm-frame work left in the timed finish() is the
+        # CSV relog only (host microseconds/frame, noted not fixed).
+        pipe._drain_outputs()
         t0 = time.time()
         pipe.run(
             (ds.frame(k) for k in range(warm, n)),

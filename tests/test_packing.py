@@ -46,3 +46,20 @@ def test_ring_buffer_rows_independent():
     rows = np.asarray(buf[:3])
     for i in range(3):
         np.testing.assert_array_equal(unpack(rows[i])["x"], [i, i])
+
+
+def test_unsupported_dtype_rejected():
+    """f16/f64/int64 fields would silently value-cast through float32 lanes;
+    build_packer must refuse them at build time (round-4 advisor)."""
+    import pytest
+
+    for bad in (jnp.float16, jnp.float64, jnp.int64):
+        shapes = {"x": jax.ShapeDtypeStruct((2,), bad)}
+        with pytest.raises(TypeError, match="pack exactly"):
+            build_packer(shapes)
+    # narrow ints are fine: every value round-trips through int32 exactly
+    shapes = {"x": jax.ShapeDtypeStruct((2,), jnp.uint8)}
+    pack, unpack, width = build_packer(shapes)
+    out = unpack(np.asarray(pack({"x": jnp.asarray([7, 255], jnp.uint8)})))
+    np.testing.assert_array_equal(out["x"], [7, 255])
+    assert out["x"].dtype == np.uint8

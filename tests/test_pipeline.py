@@ -230,6 +230,11 @@ class TestPrefetchDeterminism:
                 a.object_motions, b.object_motions, atol=1e-6
             )
             assert (a.object_motion_valid == b.object_motion_valid).all()
+            # WCME pose init path (round-4 advisor): first-seen centroid
+            # init must survive the lite snapshot, not degenerate to identity
+            np.testing.assert_allclose(
+                a.object_poses, b.object_poses, atol=1e-5
+            )
         for name in ("camera_pose", "object_motion", "object_pose"):
             fe = open(os.path.join(out_e, f"dynosam_tpu_{name}_log.csv")).read()
             fd = open(os.path.join(out_d, f"dynosam_tpu_{name}_log.csv")).read()
