@@ -96,6 +96,15 @@ class TrackerParams:
     dynamic_feature_age_buffer: int = 3
     min_dynamic_tracks: int = 20
     min_dynamic_mask_iou: float = 0.1
+    # Mask-IoU threshold for the backend EPOCH trigger (packet
+    # object_resampled -> hybrid re-anchor). Separate from — and higher
+    # than — min_dynamic_mask_iou: with spread candidate sampling the
+    # healthy-frame tracked-vs-detection IoU sits at 0.5-0.75, while
+    # contaminated partial-occlusion stretches measure 0.1-0.35 with
+    # decimeter-to-meter motion errors (probe_occlusion on the rich
+    # fixture); the reference's 0.1 resample threshold only catches the
+    # terminal collapse. Firing also re-samples the object's candidates.
+    reanchor_mask_iou: float = 0.3
     # frame border shrink for dynamic tracking validity
     shrink_row: int = 0
     shrink_col: int = 0

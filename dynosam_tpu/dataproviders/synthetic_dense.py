@@ -45,6 +45,9 @@ class DenseScenario:
         object_half_extent: float = 1.2,
         world_texture: bool = False,
         object_texture: bool = False,
+        object_half_extents=None,   # optional per-object (ex, ey) overrides
+        object_classes=None,        # optional per-object class ids (detector
+                                    # training labels + appearance signature)
     ):
         assert intr.width > 0 and intr.height > 0
         self.scn = Scenario(spec, intr)
@@ -54,6 +57,17 @@ class DenseScenario:
         self.ground_y = ground_y
         self.far_depth = far_depth
         self.obj_e = object_half_extent
+        J = len(self.scn.object_ids)
+        self.obj_extents = (
+            [(float(ex), float(ey)) for ex, ey in object_half_extents]
+            if object_half_extents is not None
+            else [(object_half_extent, object_half_extent)] * J
+        )
+        self.object_classes = (
+            [int(c) for c in object_classes]
+            if object_classes is not None
+            else [0] * J
+        )
         K = spec.num_frames
         if self.scn.object_ids:
             self._L_all = jnp.stack(self.scn.L_gt)     # (J, K, 4, 4)
@@ -123,11 +137,12 @@ class DenseScenario:
             lam = jnp.einsum("c,c->", n, p0 - t) / safe
             hit_w = t[None, None, :] + d_world * lam[..., None]
             hit_body = jnp.einsum("ci,hwc->hwi", RL, hit_w - p0[None, None, :])
+            ex, ey = self.obj_extents[j]
             inside = (
                 (lam > 0.5)
                 & (jnp.abs(denom) > 1e-3)
-                & (jnp.abs(hit_body[..., 0]) < self.obj_e)
-                & (jnp.abs(hit_body[..., 1]) < self.obj_e)
+                & (jnp.abs(hit_body[..., 0]) < ex)
+                & (jnp.abs(hit_body[..., 1]) < ey)
             )
             occludes = inside & (lam < depth)
             depth = jnp.where(occludes, lam, depth)
@@ -209,10 +224,17 @@ class DenseScenario:
             for j, oid in enumerate(self.scn.object_ids):
                 on = mask == oid
                 p_L = lie.transform_points(lie.inverse(L_stack[j]), pts_w)
-                chk = 0.20 * jnp.sin(17.0 * p_L[..., 0] + 2.1 * j) * jnp.sin(
-                    15.0 * p_L[..., 1] + 1.3 * j
-                )
-                bias = 0.14 * (1.0 if j % 2 == 0 else -1.0)
+                cls = self.object_classes[j]
+                if cls == 0:
+                    # class-0 signature: fine body-frame check pattern
+                    chk = 0.20 * jnp.sin(
+                        17.0 * p_L[..., 0] + 2.1 * j
+                    ) * jnp.sin(15.0 * p_L[..., 1] + 1.3 * j)
+                    bias = 0.14
+                else:
+                    # class-1 signature: coarse horizontal stripes, darker
+                    chk = 0.22 * jnp.sin(6.0 * p_L[..., 1] + 0.7 * j)
+                    bias = -0.14
                 g = jnp.where(on, jnp.clip(g + bias + chk, 0.0, 1.0), g)
         return jnp.stack([g, g, g], axis=-1)
 

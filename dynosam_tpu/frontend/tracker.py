@@ -464,7 +464,10 @@ def track_frame(
     union = area(bb_trk) + area(bb_det) - inter
     iou = inter / jnp.maximum(union, 1e-6)
     small_iou = iou < tp.min_dynamic_mask_iou
-    resample = many_old | too_few | small_iou | (n_tracked == 0)
+    # epoch-trigger threshold (higher than the local resample one — see
+    # TrackerParams.reanchor_mask_iou); a firing trigger also re-samples
+    collapse_iou = iou < tp.reanchor_mask_iou
+    resample = many_old | too_few | small_iou | collapse_iou | (n_tracked == 0)
 
     cand_match = dcand_label[None, :] == obj[:, None]       # (J, C)
     cand_known = jnp.any(cand_match & (obj > 0)[:, None], axis=0)
@@ -480,9 +483,25 @@ def track_frame(
         & away_from_boundaries(dcand_uv, dcand_label)
         & in_bounds(dcand_uv)
     )
-    # score: prefer nearer (stronger depth) objects -> use -depth as score
+    # Candidate ranking: prefer nearer objects, but SPREAD within an object.
+    # Pure -depth ranking clusters a capacity-limited fill into the nearest
+    # depth band of one object (measured on the rich fixture: 768 tracks
+    # occupying v in [113,174] of a mask spanning [97,300]) — which (a)
+    # biases the tracked bbox small, wrecking the requiresSampling IoU
+    # signal (healthy-frame IoU ~0.22 vs the 0.1 threshold), and (b)
+    # concentrates the motion solve's leverage in one band. Quantizing depth
+    # to coarse bins keeps the near-object preference while a deterministic
+    # per-cell hash decorrelates order inside each bin (uniform spatial
+    # sampling, the role of the reference's grid-spread sampleDynamic,
+    # FeatureTracker.cc:864).
+    nc = dcand_uv.shape[0]
+    cell_hash = (
+        (jnp.arange(nc, dtype=jnp.uint32) * jnp.uint32(2654435761))
+        % jnp.uint32(1 << 20)
+    ).astype(dtype) / (1 << 20)
+    dscore = -(jnp.floor(dcand_depth / 4.0) + cell_hash)
     assign_d = _fill_free_slots(
-        state.d_tid, d_ok, -dcand_depth, dcand_ok, state.d_uv.shape[0]
+        state.d_tid, d_ok, dscore, dcand_ok, state.d_uv.shape[0]
     )
     new_d = assign_d >= 0
     a_d = jnp.clip(assign_d, 0, dcand_uv.shape[0] - 1)
@@ -504,7 +523,10 @@ def track_frame(
     # bbox is the chain-break path's job), re-aligned onto the NEW slot
     # table (ids are unique across slots).
     iou_collapse = (
-        (obj > 0) & (n_tracked > 0) & small_iou & jnp.logical_not(first_frame)
+        (obj > 0)
+        & (n_tracked > 0)
+        & collapse_iou
+        & jnp.logical_not(first_frame)
     )
     obj_resampled = (obj_ids > 0) & jnp.any(
         obj_ids[:, None] == jnp.where(iou_collapse, obj, -2)[None, :], axis=1

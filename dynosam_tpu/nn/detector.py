@@ -139,8 +139,8 @@ class YoloV8DetectorEngine:
                 )
             num_classes = meta["num_classes"]
             scale = meta["scale"]
-            if num_classes == 1:
-                class_ids = None  # single-class head: COCO filter is moot
+            if num_classes < 80:
+                class_ids = None  # non-COCO head: the COCO filter is moot
         num_classes = 80 if num_classes is None else num_classes
         scale = "n" if scale is None else scale
         model = yolov8.YoloV8Seg(num_classes=num_classes, scale=scale)

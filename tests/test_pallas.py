@@ -15,3 +15,23 @@ def test_shi_tomasi_parity_interpret():
     np.testing.assert_allclose(
         np.asarray(out[4:-4, 4:-4]), np.asarray(ref[4:-4, 4:-4]), atol=1e-5
     )
+
+
+def test_shi_tomasi_vmap_rule_interpret():
+    """The custom batching rule must produce per-image results identical to
+    mapping the unbatched kernel (no halo leak across the batch axis)."""
+    import jax
+
+    from dynosam_tpu.ops.pallas import shi_tomasi as st
+
+    imgs = jnp.asarray(
+        np.random.default_rng(5).random((3, 128, 256), np.float32)
+    )
+    batched = st._call_batched(imgs, st._TILE_H, interpret=True)
+    for b in range(3):
+        single = st._call_unbatched(imgs[b], st._TILE_H, True)
+        np.testing.assert_allclose(
+            np.asarray(batched[b])[2:-2, 2:-2],
+            np.asarray(single)[2:-2, 2:-2],
+            atol=1e-5,
+        )

@@ -158,3 +158,104 @@ class TestReentryEpochs:
         for oid in scn.object_ids:
             assert (obj_ids == oid).sum() == 1
         assert bool(np.asarray(be.state.slot_open).all())
+
+
+def flagged_packet(scn, k, flag_frames, oid=OCCLUDED_ID, bias=None):
+    """Packet with the requiresSampling epoch trigger set for `oid` at
+    `flag_frames`; optionally biases the object's dynamic depths at those
+    frames (the partial-occlusion contamination the trigger quarantines)."""
+    pkt = scn.measurements(k, MAX_OBJ)
+    flag = jnp.asarray(k in flag_frames)
+    pkt = pkt.replace(
+        object_resampled=(pkt.object_ids == oid) & flag
+    )
+    if bias is not None and k in flag_frames:
+        dt = pkt.dynamic_tracks
+        on = dt.valid & (dt.object_id == oid)
+        pkt = pkt.replace(
+            dynamic_tracks=dt.replace(
+                depth=jnp.where(on, dt.depth + bias, dt.depth)
+            )
+        )
+    return pkt
+
+
+class TestResampleTrigger:
+    """requiresSampling mask-IoU epoch trigger (round 5; reference
+    FeatureTracker.cc:1018 + HybridEstimator.hpp:1154-1177): a flagged
+    packet closes the object's epoch even though its motion chain is
+    intact — the partial-occlusion case the chain-break path cannot see."""
+
+    def test_flag_closes_epoch_and_reanchors(self, scn):
+        cfg = cfg_mode(1)
+        be = RegularBackend(cfg, scn.intr)
+        trigger = 5
+        for k in range(trigger + 2):
+            be.step(flagged_packet(scn, k, {trigger}))
+        obj_ids = np.asarray(be.state.obj_ids)
+        slots = np.nonzero(obj_ids == OCCLUDED_ID)[0]
+        assert len(slots) == 2, f"expected 2 epoch slots, got {obj_ids}"
+        open_mask = np.asarray(be.state.slot_open)[slots]
+        assert open_mask.sum() == 1
+        j_new = int(slots[np.nonzero(open_mask)[0][0]])
+        assert bool(be.state.kf_valid[j_new])
+        fids = np.asarray(be.state.frame_ids)
+        assert fids[int(be.state.kf_slot[j_new])] == trigger
+
+    def test_rate_limited_by_epoch_age(self, scn):
+        """Consecutive flags within reanchor_min_epoch_len close only once."""
+        cfg = dataclasses.replace(cfg_mode(1), reanchor_min_epoch_len=3)
+        be = RegularBackend(cfg, scn.intr)
+        for k in range(8):
+            be.step(flagged_packet(scn, k, {5, 6, 7}))
+        obj_ids = np.asarray(be.state.obj_ids)
+        # one original epoch + exactly one re-anchor (6 and 7 rate-limited)
+        assert (obj_ids == OCCLUDED_ID).sum() == 2, f"{obj_ids}"
+
+    def test_trigger_disabled_is_inert(self, scn):
+        cfg = dataclasses.replace(cfg_mode(1), reanchor_on_resample=False)
+        be = RegularBackend(cfg, scn.intr)
+        for k in range(8):
+            be.step(flagged_packet(scn, k, {5}))
+        obj_ids = np.asarray(be.state.obj_ids)
+        assert (obj_ids == OCCLUDED_ID).sum() == 1
+
+    @pytest.mark.parametrize("mode", [1])
+    def test_contaminated_frames_quarantined(self, scn, mode):
+        """Partial-occlusion contamination (biased depths on flagged frames)
+        must not leak into neighbouring motions when the trigger is on; with
+        the trigger off the keyframed chain drags the error along the epoch."""
+        bad = {6, 7}
+
+        def run(reanchor):
+            cfg = dataclasses.replace(
+                cfg_mode(mode), reanchor_on_resample=reanchor
+            )
+            be = RegularBackend(cfg, scn.intr)
+            for k in range(N_FRAMES):
+                be.step(flagged_packet(scn, k, bad, bias=0.8))
+            be.finalize_matured()
+            errs = {}
+            for k in range(2, N_FRAMES):
+                H = be.motion_at(k, object_id=OCCLUDED_ID)
+                if H is not None:
+                    errs[k] = float(np.linalg.norm(
+                        (np.linalg.inv(gt_f2f(scn, OCCLUDED_ID, k)) @ H)[:3, 3]
+                    ))
+            return errs
+
+        e_on = run(True)
+        e_off = run(False)
+        # with the trigger, the contaminated frame's motion is dropped (the
+        # re-anchor frame has no motion variable) and the frames AFTER the
+        # re-anchor are clean
+        post_on = [e for k, e in e_on.items() if k >= 9]
+        post_off = [e for k, e in e_off.items() if k >= 9]
+        assert len(post_on) >= 4
+        assert max(post_on) < 0.10, f"post-reanchor errors: {e_on}"
+        # the off-path must show the leak this test quarantines (if this
+        # starts passing without the trigger, the fixture is too easy)
+        assert max(post_off + [0.0]) > max(post_on), (
+            f"contamination did not leak without the trigger: on={e_on} "
+            f"off={e_off}"
+        )
