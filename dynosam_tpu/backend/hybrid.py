@@ -531,11 +531,14 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
     def lin_cam(st, cfg_, lam):
         return linearize(st, cfg_, lam, dynamic_scale=0.0)
 
+    from dynosam_tpu.backend.solver import gate_dx_by_type
+
     def solve_cam(lin):
         dx_x = chol_solve(lin.S[:n, :n], lin.rhs[:n])
-        return jnp.concatenate(
+        dx = jnp.concatenate(
             [_clip_step(dx_x, op.gn_max_step), jnp.zeros(D - n, dx_x.dtype)]
         )
+        return gate_dx_by_type(dx, state.F, op)
 
     def err_cam(st, cfg_):
         return total_error(st, cfg_, dynamic_scale=0.0)
@@ -549,9 +552,10 @@ def optimize_decoupled(state: GraphState, cfg: BackendParams) -> GraphState:
     # accept/reject on the full objective (static terms are constant here).
     def solve_obj(lin):
         dh = chol_solve(lin.S[n:, n:], lin.rhs[n:])
-        return jnp.concatenate(
+        dx = jnp.concatenate(
             [jnp.zeros(n, dh.dtype), _clip_step(dh, op.gn_max_step)]
         )
+        return gate_dx_by_type(dx, state.F, op)
 
     state = lm_accept_reject(
         state,
@@ -595,11 +599,15 @@ def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     op = cfg.optimizer
     if cfg.decoupled_object_solve:
         return optimize_decoupled(state, cfg)
+    Fv = state.F
 
     def solve_dx(lin):
+        from dynosam_tpu.backend.solver import gate_dx_by_type
+
         L = jnp.linalg.cholesky(lin.S)
         z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        dx = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        return gate_dx_by_type(dx, Fv, op)
 
     if not op.accept_reject:
         lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)

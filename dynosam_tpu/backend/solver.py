@@ -532,6 +532,41 @@ def _clip_step(dx, max_step):
     return (blocks * scale).reshape(-1)
 
 
+def gate_dx_by_type(dx, F, op):
+    """Per-variable-type sub-threshold delta skip (all three formulations
+    share the [6F camera | 6JF object] tangent layout).
+
+    TPU-native role of the reference's per-key-type iSAM2 relinearization
+    control (dynosam/params/backend.flags:62-72, ISAM2.hpp:148-182): a
+    camera (X) or object (H motion / L pose) block whose rotation AND
+    translation tangent sub-norms both fall under the configured type
+    thresholds is zeroed for this iteration — the variable holds its
+    linearization point, exactly how iSAM2 treats sub-threshold deltas —
+    so late iterations stop polishing converged variable classes while
+    others still move. A type gates only when both its thresholds are > 0
+    (trace-time predicate: the default-off config compiles to a no-op).
+    Tangent convention is [omega, v] (lie.se3_exp)."""
+    x_on = op.x_update_threshold_rot > 0 and op.x_update_threshold_trans > 0
+    h_on = op.h_update_threshold_rot > 0 and op.h_update_threshold_trans > 0
+    if not (x_on or h_on):
+        return dx
+    n = 6 * F
+
+    def gate(blocks, thr_rot, thr_trans):
+        rn = jnp.linalg.norm(blocks[:, :3], axis=-1)
+        tn = jnp.linalg.norm(blocks[:, 3:], axis=-1)
+        small = (rn < thr_rot) & (tn < thr_trans)
+        return jnp.where(small[:, None], jnp.zeros_like(blocks), blocks)
+
+    dX = dx[:n].reshape(-1, 6)
+    dH = dx[n:].reshape(-1, 6)
+    if x_on:
+        dX = gate(dX, op.x_update_threshold_rot, op.x_update_threshold_trans)
+    if h_on:
+        dH = gate(dH, op.h_update_threshold_rot, op.h_update_threshold_trans)
+    return jnp.concatenate([dX.reshape(-1), dH.reshape(-1)])
+
+
 def damping_update(ok, lam, op, lam0):
     """Failed-solve recovery (reference ErrorHandlingHooks catching
     IndeterminantLinearSystemException, IncrementalOptimization.hpp:277-306):
@@ -548,11 +583,13 @@ def damping_update(ok, lam, op, lam0):
 def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     """LM (or warm-started damped GN) to approximate convergence. Jittable."""
     op = cfg.optimizer
+    Fv = state.F
 
     def solve_dx(lin):
         L = jnp.linalg.cholesky(lin.S)
         z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        dx = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        return gate_dx_by_type(dx, Fv, op)
 
     if not op.accept_reject:
         # plain damped GN (iSAM2-style non-backtracking updates)

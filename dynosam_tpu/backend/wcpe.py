@@ -471,11 +471,16 @@ def _clip_step(dx, max_step):
 
 def optimize(state: GraphState, cfg: BackendParams) -> GraphState:
     op = cfg.optimizer
+    Fv = state.F
 
     def solve_dx(lin):
+        from dynosam_tpu.backend.solver import gate_dx_by_type
+
         L = jnp.linalg.cholesky(lin.S)
         z = jax.scipy.linalg.solve_triangular(L, lin.rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        dx = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        # h thresholds gate the object-POSE (L) block in this formulation
+        return gate_dx_by_type(dx, Fv, op)
 
     if not op.accept_reject:
         lam0 = jnp.asarray(op.lm_initial_lambda, state.X.dtype)

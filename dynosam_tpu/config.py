@@ -232,6 +232,23 @@ class OptimizerParams:
     # (solver.lm_accept_reject; the scan stays fixed-length on TPU).
     relative_error_tol: float = 1e-6
     absolute_error_tol: float = 1e-6
+    # Per-variable-type sub-threshold delta skip (solver.gate_dx_by_type) —
+    # the role of the reference's per-key-type ISAM2 relinearization control
+    # (dynosam/params/backend.flags:62-72 X_/H_{trans,rot}_relinearize_
+    # threshold; ISAM2.hpp:148-182 noRelinKeys): a camera (X) or
+    # object (H/L) tangent block whose rotation AND translation sub-norms
+    # both fall under its type thresholds is zeroed for that iteration —
+    # the variable holds its linearization point, iSAM2's treatment of
+    # sub-threshold deltas — so late iterations stop polishing converged
+    # variable classes while others still move. A type gates only when BOTH
+    # its thresholds are > 0; defaults off. Deliberately NOT named like the
+    # reference flags: those are relinearization-skip radii (20.0 = "never
+    # relinearize"), numerically inverted from these update-skip radii, so
+    # a reference .flags file must not map onto them silently.
+    x_update_threshold_rot: float = 0.0
+    x_update_threshold_trans: float = 0.0
+    h_update_threshold_rot: float = 0.0
+    h_update_threshold_trans: float = 0.0
     # NB: no PCG path — the Schur-reduced systems here are 6F+6JF <= ~3k
     # dense variables, where one MXU Cholesky beats an iterative solve; see
     # solver.py. (Earlier placeholder pcg_* knobs removed.)

@@ -106,6 +106,8 @@ class YoloV8DetectorEngine:
         iou_threshold: float = 0.6,
         class_ids: Optional[Sequence[int]] = DEFAULT_CLASS_FILTER,
         use_pallas_masks: bool = True,
+        mask_threshold: float = 0.5,
+        box_pad: float = 0.0,
         seed: int = 0,
         random_weights: bool = False,
         checkpoint: str = CKPT_PATH,
@@ -167,7 +169,8 @@ class YoloV8DetectorEngine:
                 class_ids=tuple(class_ids) if class_ids is not None else None,
             )
             masks = pp.combine_masks(
-                det, single["proto"], (H, W), use_pallas=use_pallas_masks
+                det, single["proto"], (H, W), use_pallas=use_pallas_masks,
+                mask_threshold=mask_threshold, box_pad=box_pad,
             )
             label = pp.masks_to_label_image(masks, det.scores)
             # back to the caller's resolution

@@ -158,12 +158,17 @@ def combine_masks(
     out_hw,                     # (H, W) of the network input
     mask_threshold: float = 0.5,
     use_pallas: bool = False,
+    box_pad: float = 0.0,
 ):
     """Per-instance masks from coefficients + prototypes, cropped to boxes.
 
     sigma(proto @ coef_k) upsampled to input resolution, zeroed outside the
     detection box, thresholded — the YOLO_Mask_Combination_Kernel contract
     (YoloV8CudaUtils.cu:80). Returns (K, H, W) bool.
+
+    box_pad: expand the crop box by this many pixels before zeroing — a
+    tight regressed box otherwise clips boundary mask pixels (measurable
+    IoU loss on small instances at the stride-4 prototype resolution).
     """
     H, W = out_hw
     Hp, Wp, nm = proto.shape
@@ -179,10 +184,10 @@ def combine_masks(
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     b = det.boxes
     inside = (
-        (xs >= b[:, 0, None, None])
-        & (xs <= b[:, 2, None, None])
-        & (ys >= b[:, 1, None, None])
-        & (ys <= b[:, 3, None, None])
+        (xs >= b[:, 0, None, None] - box_pad)
+        & (xs <= b[:, 2, None, None] + box_pad)
+        & (ys >= b[:, 1, None, None] - box_pad)
+        & (ys <= b[:, 3, None, None] + box_pad)
     )
     return (masks > mask_threshold) & inside & det.valid[:, None, None]
 

@@ -28,12 +28,25 @@ class RansacResult(NamedTuple):
 
 
 def _sample_indices(key, valid, num_hypotheses, sample_size):
-    """(num_hypotheses, sample_size) indices drawn among valid slots."""
+    """(num_hypotheses, sample_size) indices drawn among valid slots.
+
+    Top-k of the Gumbel scores via `sample_size` successive argmax+mask
+    passes rather than `lax.top_k`: sample_size is tiny (3-4), so k argmax
+    reductions are cheaper than a 2N-lane sort on the VPU — and, decisively,
+    XLA's SPMD partitioner cannot keep TopK sharded along a leading mesh
+    axis (it ALL-GATHERS the batch: measured on the 8-device mesh program,
+    scripts/bench_mesh_scaling.py, where this op was the only collective in
+    the whole fused step), while argmax/iota/where partition trivially."""
     n = valid.shape[0]
     g = jax.random.uniform(key, (num_hypotheses, n))
     g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, sample_size)  # random k-subset of valid
-    return idx
+    lane = jnp.arange(n)
+    cols = []
+    for _ in range(sample_size):
+        i = jnp.argmax(g, axis=-1)                    # (M,)
+        cols.append(i)
+        g = jnp.where(lane[None, :] == i[:, None], -jnp.inf, g)
+    return jnp.stack(cols, axis=-1)
 
 
 def ransac(

@@ -225,6 +225,54 @@ def row_real_io(fixture="tests/fixtures/kitti_fixture", frames=60):
     return (n - warm) / dt, float("nan")
 
 
+def row_fused_gated():
+    """fused-synth with per-variable-type update gating ON (sub-noise-floor
+    thresholds): A/B for the trace-time cost of solver.gate_dx_by_type —
+    accuracy equivalence at these thresholds is pinned by
+    tests/test_backend.py::TestPerTypeUpdateGating."""
+    import dataclasses
+
+    import jax
+
+    import bench
+
+    cfg, intr = bench.bench_config()
+    cfg = dataclasses.replace(
+        cfg,
+        backend=dataclasses.replace(
+            cfg.backend,
+            optimizer=dataclasses.replace(
+                cfg.backend.optimizer,
+                x_update_threshold_rot=1e-5,
+                x_update_threshold_trans=1e-5,
+                h_update_threshold_rot=1e-5,
+                h_update_threshold_trans=1e-5,
+            ),
+        ),
+    )
+    frames = bench.make_frames(intr)
+    frames = [jax.device_put(f) for f in frames]
+    return time_fused(cfg, intr, frames)
+
+
+BB_BEGIN = "<!-- batched-section-begin -->"
+BB_END = "<!-- batched-section-end -->"
+MESH_BEGIN = "<!-- mesh-section-begin -->"
+MESH_END = "<!-- mesh-section-end -->"
+
+
+def _preserved_section(path: str, begin: str, end: str) -> str:
+    """Content between markers in the existing table (kept across full
+    rewrites; scripts/bench_batched.py and scripts/bench_mesh_scaling.py
+    splice into their marker pairs)."""
+    if not os.path.exists(path):
+        return "\n"
+    text = open(path).read()
+    if begin in text and end in text:
+        return text.split(begin)[1].split(end)[0]
+    return "\n"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_TABLE.md")
@@ -249,36 +297,42 @@ def main():
 
     add("fused-synth", "driver bench path, 384x1280, provided flow/mask",
         lambda: row_fused_synth(False))
+    add("fused-synth-gated", "per-variable-type update gating on "
+        "(solver.gate_dx_by_type A/B; same accuracy at these thresholds)",
+        row_fused_gated)
     add("fused-synth-klt", "in-loop pyramidal KLT + CLAHE (no provided flow)",
         lambda: row_fused_synth(True))
-    add("detector-on", "YOLOv8n-seg engine per frame (384x640 input)",
-        row_detector_on)
+    add("detector-on", "YOLOv8-seg engine per frame (384x640 input, trained "
+        "2-class checkpoint)", row_detector_on)
     add("real-io", "60-frame fixture, disk decode + prefetch + logging",
         row_real_io)
 
+    batched = _preserved_section(args.out, BB_BEGIN, BB_END)
+    meshsec = _preserved_section(args.out, MESH_BEGIN, MESH_END)
     with open(args.out, "w") as f:
         f.write(f"# Benchmark table — device: {kind}\n\n")
         f.write(
             "FLOPs are XLA cost-model values for the executed program; MFU "
             "is vs bf16 MXU peak (conservative — pipeline is f32). The frame "
             "is latency/HBM-bound, not FLOP-bound; MFU shows the MXU "
-            "headroom left at the achieved FPS.\n\n"
-            "CAVEAT — dispatch overhead on this box: the TPU is reached "
-            "through a tunneled runtime that adds ~18-20 ms per blocking "
-            "dispatch round-trip. The driver-recorded BENCH_r0N.json runs "
-            "the identical fused-synth program without the tunnel (114.45 "
-            "FPS in round 2 vs 37 here), so rows are comparable to EACH "
-            "OTHER but absolute FPS understates real-hardware throughput "
-            "for every row; real-io is hit hardest (many small dispatches + "
-            "host transfers per frame). detector-on exceeding fused-synth "
-            "is the same effect in reverse: two async programs per frame "
-            "pipeline against the tunnel latency.\n\n"
+            "headroom left at the achieved FPS. All rows measured at one "
+            "code state by scripts/bench_table.py.\n\n"
+            "Dispatch-cost caveat: on this box the TPU is reached through a "
+            "tunneled runtime — each device->host transfer costs ~60-85 ms "
+            "and a blocking dispatch ~20 ms, independent of size. The "
+            "driver-recorded BENCH_r0N.json runs the same fused-synth "
+            "program without the tunnel; rows here are comparable to EACH "
+            "OTHER, but absolute FPS understates real-hardware throughput "
+            "for the host-heavy rows (real-io hardest: many small "
+            "dispatches + transfers per frame).\n\n"
         )
         f.write("| config | FPS | GFLOP/frame | MFU | notes |\n|---|---|---|---|---|\n")
         for name, note, fps, flops, mfu in rows:
             gf = f"{flops/1e9:.2f}" if np.isfinite(flops) else "n/a"
             mf = f"{mfu*100:.2f}%" if mfu is not None else "n/a"
             f.write(f"| {name} | {fps:.2f} | {gf} | {mf} | {note} |\n")
+        f.write(f"\n{BB_BEGIN}{batched}{BB_END}\n")
+        f.write(f"\n{MESH_BEGIN}{meshsec}{MESH_END}\n")
     print(f"wrote {args.out}")
     print(json.dumps({"rows": [(r[0], round(r[2], 2)) for r in rows]}))
 

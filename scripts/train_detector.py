@@ -132,10 +132,18 @@ def _cls_of_oid(scn) -> np.ndarray:
     return m
 
 
-def build_pool(rng: np.random.Generator, num_scenes: int):
+def build_pool(rng: np.random.Generator, num_scenes: int, cache: str = ""):
     """Pre-rendered training pool. Every scene renders ALL its frames (the
     per-scene jit trace is the dominant cost on CPU — amortize it), objects
-    that wander out of frame just yield fewer instances."""
+    that wander out of frame just yield fewer instances. Images are stored
+    uint8 (4x smaller pool + 4x smaller per-step host->device transfer: the
+    tunneled runtime retains transfer buffers, so bytes/step bound how long
+    a training process can run — a float32 pipeline OOM-killed the host at
+    step ~2050). `cache` (npz path) round-trips the pool across chunked
+    training runs."""
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        return list(z["imgs"]), list(z["masks"]), list(z["cmaps"])
     imgs, masks, cmaps = [], [], []
     while len(imgs) < num_scenes * 3:
         scn = random_scene(rng)
@@ -145,27 +153,36 @@ def build_pool(rng: np.random.Generator, num_scenes: int):
             m = np.asarray(fr.mask)
             if m.max() <= 0:
                 continue
-            imgs.append(np.asarray(fr.rgb))
-            masks.append(m)
+            imgs.append(
+                np.clip(np.asarray(fr.rgb) * 255.0, 0, 255).astype(np.uint8)
+            )
+            masks.append(m.astype(np.uint8))
             cmaps.append(cm)
+    if cache:
+        np.savez_compressed(
+            cache,
+            imgs=np.stack(imgs), masks=np.stack(masks), cmaps=np.stack(cmaps),
+        )
     return imgs, masks, cmaps
 
 
 def sample_batch(rng: np.random.Generator, imgs, masks, cmaps, batch: int):
-    """Pool batch with horizontal-flip + brightness/contrast augmentation."""
+    """Pool batch (uint8) + per-sample photometric params. Horizontal flip
+    happens on host (a uint8 view copy); gain/bias brightness-contrast
+    augmentation is APPLIED ON DEVICE (train_step) so the host->device
+    transfer stays uint8."""
     idx = rng.integers(0, len(imgs), size=batch)
     bi, bm, bc = [], [], []
     for i in idx:
         im, m = imgs[i], masks[i]
         if rng.random() < 0.5:
             im, m = im[:, ::-1].copy(), m[:, ::-1].copy()
-        gain = rng.uniform(0.8, 1.2)
-        bias = rng.uniform(-0.1, 0.1)
-        im = np.clip(im * gain + bias, 0.0, 1.0).astype(np.float32)
         bi.append(im)
         bm.append(m)
         bc.append(cmaps[i])
-    return np.stack(bi), np.stack(bm), np.stack(bc)
+    gain = rng.uniform(0.8, 1.2, size=batch).astype(np.float32)
+    bias = rng.uniform(-0.1, 0.1, size=batch).astype(np.float32)
+    return np.stack(bi), np.stack(bm), np.stack(bc), gain, bias
 
 
 def targets_from_mask(mask: np.ndarray, cls_map: np.ndarray):
@@ -173,7 +190,7 @@ def targets_from_mask(mask: np.ndarray, cls_map: np.ndarray):
     boxes = np.zeros((MAX_OBJ, 4), np.float32)
     valid = np.zeros((MAX_OBJ,), bool)
     clss = np.zeros((MAX_OBJ,), np.int32)
-    inst = np.zeros((MAX_OBJ, mask.shape[0], mask.shape[1]), np.float32)
+    inst = np.zeros((MAX_OBJ, mask.shape[0], mask.shape[1]), np.uint8)
     ids = [i for i in np.unique(mask) if i > 0][:MAX_OBJ]
     for s, oid in enumerate(ids):
         on = mask == oid
@@ -183,7 +200,7 @@ def targets_from_mask(mask: np.ndarray, cls_map: np.ndarray):
         boxes[s] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
         valid[s] = True
         clss[s] = cls_map[int(oid)]
-        inst[s] = on.astype(np.float32)
+        inst[s] = on.astype(np.uint8)
     return boxes, valid, clss, inst
 
 
@@ -345,10 +362,10 @@ def build_loss_fn(model):
 # ---------------------------------------------------------------------------
 # eval
 # ---------------------------------------------------------------------------
-def eval_iou(params, num_scenes: int = 40, seed: int = 10_000):
+def eval_iou(params, num_scenes: int = 48, seed: int = 10_000):
     """Held-out scenes through the FULL engine: per-GT best-mask IoU +
-    class accuracy of the best-IoU detection. num_scenes=40 yields >= 100
-    instances (the round-4 gate rested on 11)."""
+    class accuracy of the best-IoU detection. num_scenes=48 yields ~120
+    instances (the round-4 gate rested on 11; 40 scenes gave 99)."""
     import jax.numpy as jnp
 
     from dynosam_tpu.nn.detector import YoloV8DetectorEngine
@@ -359,7 +376,7 @@ def eval_iou(params, num_scenes: int = 40, seed: int = 10_000):
         scale=SCALE,
         input_hw=(IMG_H, IMG_W),
         max_detections=8,
-        score_threshold=0.35,
+        score_threshold=0.25,   # the engine's deployment default
         class_ids=None,
         use_pallas_masks=False,
     )
@@ -397,9 +414,17 @@ def eval_iou(params, num_scenes: int = 40, seed: int = 10_000):
                 )
             else:
                 cls_hits.append(False)
-    miou = float(np.mean(ious)) if ious else 0.0
+    a = np.asarray(ious, np.float64)
+    det_only = a[a > 0.1]
+    miou = float(a.mean()) if ious else 0.0
     cacc = float(np.mean(cls_hits)) if cls_hits else 0.0
-    return miou, cacc, len(ious)
+    extra = {
+        # decomposition (scripts/probe_det_eval.py): the mean conflates
+        # segmentation quality with recall — record both parts
+        "mean_detected_iou": float(det_only.mean()) if det_only.size else 0.0,
+        "missed_rate": float(np.mean(a <= 0.1)) if ious else 1.0,
+    }
+    return miou, cacc, len(ious), extra
 
 
 # ---------------------------------------------------------------------------
@@ -412,6 +437,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pool", type=int, default=60, help="scenes in the pool")
     ap.add_argument("--log-every", type=int, default=25)
+    # Chunked training (the tunneled runtime retains every host->device
+    # transfer buffer, so a long run's RSS grows linearly; see build_pool):
+    # --start-step N resumes from the committed checkpoint + optimizer-state
+    # sidecar, keeping one warmup-cosine schedule over --total-steps.
+    ap.add_argument("--start-step", type=int, default=0)
+    ap.add_argument("--total-steps", type=int, default=0,
+                    help="schedule horizon (default: --steps)")
+    ap.add_argument("--no-eval", action="store_true",
+                    help="skip held-out eval (intermediate chunks)")
+    ap.add_argument("--pool-cache", default="/tmp/det_pool.npz")
+    ap.add_argument("--opt-state", default="/tmp/det_opt_state.msgpack")
     args = ap.parse_args()
 
     import jax
@@ -429,22 +465,50 @@ def main():
         with open(CKPT_PATH, "rb") as f:
             params = serialization.from_bytes(params, f.read())
         params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
-        miou, cacc, n = eval_iou(params)
-        print(json.dumps(
-            {"mean_mask_iou": miou, "class_accuracy": cacc, "instances": n}
-        ))
+        miou, cacc, n, extra = eval_iou(params)
+        fields = {
+            "mean_mask_iou": miou, "class_accuracy": cacc, "instances": n,
+            **extra,
+        }
+        # refresh the committed sidecar so the quality gate reflects the
+        # weights on disk
+        meta_path = CKPT_PATH + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            meta.update(fields)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f, indent=1)
+        print(json.dumps(fields))
         return
 
+    total_steps = args.total_steps or args.steps
     loss_fn = build_loss_fn(model)
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=min(100, args.steps // 10),
-        decay_steps=args.steps,
+        0.0, args.lr, warmup_steps=min(100, total_steps // 10),
+        decay_steps=total_steps,
     )
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(sched))
     opt_state = tx.init(params)
 
+    if args.start_step > 0:  # chunk resume
+        with open(CKPT_PATH, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+        with open(args.opt_state, "rb") as f:
+            opt_state = serialization.from_bytes(opt_state, f.read())
+
     @jax.jit
-    def train_step(params, opt_state, imgs, boxes, valid, clss, inst):
+    def train_step(params, opt_state, imgs_u8, gain, bias,
+                   boxes, valid, clss, inst_u8):
+        # uint8 -> float + photometric augmentation ON DEVICE (transfer
+        # stays small; see build_pool docstring)
+        imgs = imgs_u8.astype(jnp.float32) / 255.0
+        imgs = jnp.clip(
+            imgs * gain[:, None, None, None] + bias[:, None, None, None],
+            0.0, 1.0,
+        )
+        inst = inst_u8.astype(jnp.float32)
         loss, grads = jax.value_and_grad(loss_fn)(
             params, imgs, boxes, valid, clss, inst
         )
@@ -454,10 +518,16 @@ def main():
 
     rng = np.random.default_rng(args.seed + 1)
     t0 = time.time()
-    pool_i, pool_m, pool_c = build_pool(rng, args.pool)
+    pool_i, pool_m, pool_c = build_pool(rng, args.pool, cache=args.pool_cache)
     print(f"pool: {len(pool_i)} frames ({time.time() - t0:.1f}s)", flush=True)
-    for step in range(args.steps):
-        imgs, masks, cmaps = sample_batch(
+    # burn the sampler forward so a resumed chunk doesn't replay the same
+    # batches (cheap: index draws only)
+    for _ in range(args.start_step):
+        rng.integers(0, len(pool_i), size=args.batch)
+        rng.random(args.batch)
+        rng.uniform(size=2 * args.batch)
+    for step in range(args.start_step, args.start_step + args.steps):
+        imgs, masks, cmaps, gain, bias = sample_batch(
             rng, pool_i, pool_m, pool_c, args.batch
         )
         tb, tv, tc, ti = zip(
@@ -467,12 +537,14 @@ def main():
             params,
             opt_state,
             jnp.asarray(imgs),
+            jnp.asarray(gain),
+            jnp.asarray(bias),
             jnp.asarray(np.stack(tb)),
             jnp.asarray(np.stack(tv)),
             jnp.asarray(np.stack(tc)),
             jnp.asarray(np.stack(ti)),
         )
-        if step % args.log_every == 0 or step == args.steps - 1:
+        if step % args.log_every == 0:
             print(
                 f"step {step:5d} loss {float(loss):8.4f} "
                 f"({time.time() - t0:6.1f}s)",
@@ -485,16 +557,22 @@ def main():
 
     with open(CKPT_PATH, "wb") as f:
         f.write(ser.to_bytes(half))
-    miou, cacc, n = eval_iou(params)
+    with open(args.opt_state, "wb") as f:
+        f.write(ser.to_bytes(opt_state))
     meta = {
-        "mean_mask_iou": miou,
-        "class_accuracy": cacc,
-        "instances": n,
-        "steps": args.steps,
+        "steps": args.start_step + args.steps,
         "scale": SCALE,
         "input_hw": [IMG_H, IMG_W],
         "num_classes": NUM_CLASSES,
     }
+    if not args.no_eval:
+        miou, cacc, n, extra = eval_iou(params)
+        meta.update(
+            mean_mask_iou=miou, class_accuracy=cacc, instances=n, **extra
+        )
+    # sidecar always matches the weights just written (the engine reads
+    # num_classes/scale/input_hw from it); quality fields appear once the
+    # final chunk's eval ran
     with open(CKPT_PATH + ".json", "w") as f:
         json.dump(meta, f, indent=1)
     print(json.dumps(meta))

@@ -1,6 +1,7 @@
 """Backend tests against the scenario simulator (reference pattern:
 dynosam/test/test_rgbd_backend.cc + backend_runners.hpp harnesses)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -244,3 +245,65 @@ def test_range_dependent_sigma_model():
     cfg_off = BackendParams(noise=NoiseParams(use_range_dependent_noise=False))
     sig_off = np.asarray(_measurement_sigma(depth, 0.01, 1.0, intr, cfg_off))
     np.testing.assert_allclose(sig_off, 0.01)
+
+
+class TestPerTypeUpdateGating:
+    """Per-variable-type sub-threshold delta skip (solver.gate_dx_by_type) —
+    the role of the reference's per-key-type iSAM2 relinearization control
+    (backend.flags:62-72 X_/H_*_relinearize_threshold, ISAM2.hpp:148-182)."""
+
+    def test_gate_unit_semantics(self):
+        import dataclasses
+
+        from dynosam_tpu.config import OptimizerParams
+
+        F = 2
+        # camera blocks: one tiny, one large; object blocks: one tiny
+        dx = np.zeros(6 * F + 6 * 2, np.float32)
+        dx[0:6] = 1e-4          # X block 0: tiny rot+trans
+        dx[6:12] = 0.5          # X block 1: large
+        dx[12:18] = 1e-4        # H block 0: tiny
+        dx[18:24] = 0.3         # H block 1: large
+        op = OptimizerParams(
+            x_update_threshold_rot=1e-2, x_update_threshold_trans=1e-2,
+            h_update_threshold_rot=1e-2, h_update_threshold_trans=1e-2,
+        )
+        out = np.asarray(solver.gate_dx_by_type(jnp.asarray(dx), F, op))
+        assert np.all(out[0:6] == 0.0)
+        np.testing.assert_array_equal(out[6:12], dx[6:12])
+        assert np.all(out[12:18] == 0.0)
+        np.testing.assert_array_equal(out[18:24], dx[18:24])
+        # default config (thresholds off) is the identity — and a trace-time
+        # no-op, so the hot path is untouched
+        out_off = solver.gate_dx_by_type(jnp.asarray(dx), F, OptimizerParams())
+        assert out_off is not None
+        np.testing.assert_array_equal(np.asarray(out_off), dx)
+        # a type gates only when BOTH its thresholds are set
+        op_half = dataclasses.replace(op, x_update_threshold_trans=0.0)
+        out_h = np.asarray(solver.gate_dx_by_type(jnp.asarray(dx), F, op_half))
+        np.testing.assert_array_equal(out_h[0:6], dx[0:6])
+        assert np.all(out_h[12:18] == 0.0)
+
+    def test_solver_converges_with_gating(self, noisy_scn):
+        """Gated solve must still converge on the noisy fixture (thresholds
+        below the noise floor change nothing material; the A/B row in
+        BENCH_TABLE carries the measured effect)."""
+        import dataclasses
+
+        from dynosam_tpu.config import OptimizerParams
+
+        cfg = small_cfg(max_frames=12)
+        cfg_gate = dataclasses.replace(
+            cfg,
+            optimizer=dataclasses.replace(
+                cfg.optimizer,
+                x_update_threshold_rot=1e-5,
+                x_update_threshold_trans=1e-5,
+                h_update_threshold_rot=1e-5,
+                h_update_threshold_trans=1e-5,
+            ),
+        )
+        st = ingest_all(noisy_scn, cfg_gate)
+        st = jax.jit(lambda s: solver.optimize(s, cfg_gate))(st)
+        errs = pose_errors(st, noisy_scn, range(12))
+        assert max(errs) < 0.05, errs
