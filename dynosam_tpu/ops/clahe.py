@@ -34,8 +34,16 @@ def clahe(gray, grid: int = 8, bins: int = 256, clip_limit: float = 2.0):
     tiles = (
         b.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(n_tiles, npx)
     )
-    hist = jnp.zeros((n_tiles, bins), jnp.float32)
-    hist = jax.vmap(lambda h, idx: h.at[idx].add(1.0))(hist, tiles)
+    # Scatter-free histogram: XLA lowers scatter-add on TPU to a serialized
+    # per-update loop (~half a million sequential updates here); a one-hot
+    # compare + sum is a fused VPU reduction instead.
+    hist = jnp.sum(
+        (
+            tiles[:, :, None]
+            == jnp.arange(bins, dtype=tiles.dtype)[None, None, :]
+        ).astype(jnp.float32),
+        axis=1,
+    )
 
     # clip + redistribute the excess uniformly (standard CLAHE)
     cap = clip_limit * npx / bins
@@ -56,6 +64,13 @@ def clahe(gray, grid: int = 8, bins: int = 256, clip_limit: float = 2.0):
     wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
     wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :]
 
+    if th % 2 == 0 and tw % 2 == 0:
+        return _apply_luts_quadrant(
+            b, lut, grid, th, tw, wy, wx, bins
+        )
+
+    # Fallback (odd half-tiles): per-pixel table gathers. TPU-slow — the
+    # quadrant reduce above is the hot path; all even tile sizes take it.
     flat_lut = lut.reshape(-1)
 
     def look(ty, tx):
@@ -69,3 +84,55 @@ def clahe(gray, grid: int = 8, bins: int = 256, clip_limit: float = 2.0):
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
+
+
+def _apply_luts_quadrant(b, lut, grid: int, th: int, tw: int, wy, wx, bins):
+    """Per-pixel 4-LUT bilinear application WITHOUT scattered gathers.
+
+    Within each half-tile quadrant cell (th/2 x tw/2 pixels) the 4 blended
+    tile indices are CONSTANT (the floor((pos+0.5)/tile - 0.5) corner pair
+    flips exactly at half-tile boundaries), so the lookup becomes, per cell,
+    a compare-multiply reduction over the 256 bins against 4 fixed LUT rows
+    — XLA fuses the one-hot compare into the reduce (no materialized
+    one-hot, no serialized gather). ~500M fused VPU ops at 384x1280 vs
+    ~2M scattered gathers: measured 15.6 -> ~3 ms for the whole CLAHE
+    (scripts/probe_klt.py).
+    """
+    H, W = b.shape
+    g2y, g2x = 2 * grid, 2 * grid
+    hq, wq = th // 2, tw // 2
+
+    q = jnp.arange(g2y)
+    m = (q - 1) // 2              # quadrant row -> lower tile row (floor)
+    ty0 = jnp.clip(m, 0, grid - 1)
+    ty1 = jnp.clip(m + 1, 0, grid - 1)
+    tx0, tx1 = ty0, ty1           # square grid: same index map per axis
+
+    # (g2y, g2x, 4) tile ids in corner order 00, 01, 10, 11
+    tidx = jnp.stack(
+        [
+            ty0[:, None] * grid + tx0[None, :],
+            ty0[:, None] * grid + tx1[None, :],
+            ty1[:, None] * grid + tx0[None, :],
+            ty1[:, None] * grid + tx1[None, :],
+        ],
+        axis=-1,
+    )
+    L4 = lut[tidx]                                   # (g2y, g2x, 4, bins)
+
+    bc = (
+        b.reshape(g2y, hq, g2x, wq).transpose(0, 2, 1, 3)
+    )                                                # (g2y, g2x, hq, wq)
+    k = jnp.arange(bins, dtype=bc.dtype)
+    vals = jnp.sum(
+        (bc[..., None, None] == k).astype(lut.dtype)
+        * L4[:, :, None, None, :, :],
+        axis=-1,
+    )                                                # (g2y, g2x, hq, wq, 4)
+
+    wyc = wy.reshape(g2y, hq)[:, None, :, None]      # (g2y, 1, hq, 1)
+    wxc = wx.reshape(1, g2x * wq)[0].reshape(g2x, wq)[None, :, None, :]
+    top = vals[..., 0] * (1 - wxc) + vals[..., 1] * wxc
+    bot = vals[..., 2] * (1 - wxc) + vals[..., 3] * wxc
+    out = top * (1 - wyc) + bot * wyc                # (g2y, g2x, hq, wq)
+    return out.transpose(0, 2, 1, 3).reshape(H, W)

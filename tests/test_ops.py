@@ -232,3 +232,138 @@ class TestKabschFastPaths:
             R = lie_mod.so3_exp(w)
             R2 = _quat_to_rot(_rot_to_quat(R))
             np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+
+
+class TestLkPatchExtraction:
+    """The MXU gather->matmul patch sampler must match the scattered-gather
+    reference bilinear sampler exactly (interior samples; same clamping)."""
+
+    def test_mm_patches_match_gather(self):
+        from dynosam_tpu.ops import lk
+
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.random((48, 64), np.float32))
+        uv = jnp.asarray(
+            np.stack(
+                [rng.uniform(6, 58, 33), rng.uniform(6, 42, 33)], axis=-1
+            ).astype(np.float32)
+        )
+        half = 3
+        got = np.asarray(lk._extract_patches_mm(img, uv, half))
+        P = 2 * half + 1
+        want = np.asarray(
+            lk._gather_bilinear(img, lk._patch_coords(uv, half))
+        ).reshape(-1, P, P)
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-6)
+
+    def test_mm_patches_clamped_at_border(self):
+        from dynosam_tpu.ops import lk
+
+        img = jnp.asarray(np.arange(20 * 24, dtype=np.float32).reshape(20, 24))
+        uv = jnp.asarray([[0.5, 0.5], [23.0, 19.0], [-2.0, -2.0]], jnp.float32)
+        got = np.asarray(lk._extract_patches_mm(img, uv, 2))
+        want = np.asarray(
+            lk._gather_bilinear(img, lk._patch_coords(uv, 2))
+        ).reshape(-1, 5, 5)
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-6)
+
+    def test_strip_sampler_matches_gather(self):
+        """The strip path (aligned row/block gather + local einsums) must
+        reproduce _gather_bilinear exactly wherever the window covers the
+        (globally clamped) sample positions — interior AND image border."""
+        from dynosam_tpu.ops import lk
+
+        rng = np.random.default_rng(13)
+        H, W = 48, 160                       # W not a multiple of 128
+        img = jnp.asarray(rng.random((H, W), np.float32))
+        uv = jnp.asarray(
+            np.concatenate(
+                [
+                    np.stack(
+                        [rng.uniform(0, W - 1, 40), rng.uniform(0, H - 1, 40)],
+                        axis=-1,
+                    ),
+                    [[0.2, 0.3], [W - 1.2, H - 1.4], [-3.0, -3.0]],
+                ]
+            ).astype(np.float32)
+        )
+        half = 3
+        S = 2 * half + 1
+        y0 = uv[:, 1] - half
+        x0 = uv[:, 0] - half
+        strips, r0, c0 = lk._extract_strips(
+            img,
+            jnp.floor(y0).astype(jnp.int32),
+            jnp.floor(x0).astype(jnp.int32),
+            S + 1,
+        )
+        got = np.asarray(lk._sample_strips(strips, r0, c0, y0, x0, S, S, H, W))
+        want = np.asarray(
+            lk._gather_bilinear(img, lk._patch_coords(uv, half))
+        ).reshape(-1, S, S)
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-6)
+
+    def test_strip_window_covers_iteration_drift(self):
+        """Sampling at positions displaced from the strip anchor (as LK
+        iterations do) stays exact while |drift| <= margin."""
+        from dynosam_tpu.ops import lk
+
+        rng = np.random.default_rng(17)
+        H, W = 64, 256
+        img = jnp.asarray(rng.random((H, W), np.float32))
+        uv = jnp.asarray(
+            np.stack(
+                [rng.uniform(14, W - 14, 25), rng.uniform(14, H - 14, 25)],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        half, margin = 3, 6
+        S = 2 * half + 1
+        strips, r0, c0 = lk._extract_strips(
+            img,
+            jnp.floor(uv[:, 1] - (half + margin)).astype(jnp.int32),
+            jnp.floor(uv[:, 0] - (half + margin)).astype(jnp.int32),
+            S + 2 * margin + 1,
+        )
+        drift = jnp.asarray(
+            rng.uniform(-margin, margin, size=(25, 2)).astype(np.float32)
+        )
+        uvd = uv + drift
+        got = np.asarray(
+            lk._sample_strips(
+                strips, r0, c0, uvd[:, 1] - half, uvd[:, 0] - half, S, S, H, W
+            )
+        )
+        want = np.asarray(
+            lk._gather_bilinear(img, lk._patch_coords(uvd, half))
+        ).reshape(-1, S, S)
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-6)
+
+    def test_gradient_halo_matches_global_gradients(self):
+        """Central diff inside the extracted (pad=1) patch == bilinear
+        sampling of the global central-difference gradients (interior)."""
+        from dynosam_tpu.ops import lk
+
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((40, 56), np.float32))
+        gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+        gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+        uv = jnp.asarray(
+            np.stack(
+                [rng.uniform(8, 48, 17), rng.uniform(8, 32, 17)], axis=-1
+            ).astype(np.float32)
+        )
+        half = 3
+        big = lk._extract_patches_mm(img, uv, half, pad=1)
+        tx = np.asarray(0.5 * (big[:, 1:-1, 2:] - big[:, 1:-1, :-2]))
+        ty = np.asarray(0.5 * (big[:, 2:, 1:-1] - big[:, :-2, 1:-1]))
+        pc = lk._patch_coords(uv, half)
+        P = 2 * half + 1
+        np.testing.assert_allclose(
+            tx, np.asarray(lk._gather_bilinear(gx, pc)).reshape(-1, P, P),
+            rtol=0, atol=3e-6,
+        )
+        np.testing.assert_allclose(
+            ty, np.asarray(lk._gather_bilinear(gy, pc)).reshape(-1, P, P),
+            rtol=0, atol=3e-6,
+        )
