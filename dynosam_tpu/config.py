@@ -105,6 +105,20 @@ class TrackerParams:
     # fixture); the reference's 0.1 resample threshold only catches the
     # terminal collapse. Firing also re-samples the object's candidates.
     reanchor_mask_iou: float = 0.3
+    # Observability floor for EMITTING an object's observations to the
+    # backend: minimum detection-mask support in px^2 (candidate cells
+    # carrying the label x cell area). During DEEP occlusion the visible
+    # sliver keeps enough surviving tracks to pass min_object_points, yet a
+    # motion estimated from it is garbage (rich fixture probe: 2.2 m
+    # first-motion-after-re-anchor error at mask-IoU 0.065). Below the
+    # floor the frame's dynamic observations are withheld entirely, so the
+    # backend sees an occlusion gap and the re-entry path anchors a fresh
+    # epoch only once detection support recovers (reference analogue: the
+    # per-object track-quality gates feeding requiresSampling,
+    # FeatureTracker.cc:1018). 0 disables; values in (0, 1) are a FRACTION
+    # of image area (scale-aware across fixture resolutions), values >= 1
+    # are absolute px^2.
+    min_observable_mask_area: float = 0.0
     # frame border shrink for dynamic tracking validity
     shrink_row: int = 0
     shrink_col: int = 0

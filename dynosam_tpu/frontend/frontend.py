@@ -409,6 +409,30 @@ def frontend_step(
         )
 
     # ---- packet --------------------------------------------------------------
+    # Observability floor (TrackerParams.min_observable_mask_area): an
+    # object whose detection-mask support fell below the floor has its
+    # dynamic observations WITHHELD from the packet — motions estimated
+    # from a deep-occlusion sliver are garbage even when enough tracks
+    # survive to pass min_object_points (ref: the track-quality gates
+    # feeding requiresSampling, FeatureTracker.cc:1018). The backend then
+    # sees an occlusion gap and its re-entry path anchors a fresh epoch
+    # only once support recovers.
+    if params.tracker.min_observable_mask_area > 0:
+        a = params.tracker.min_observable_mask_area
+        Hm, Wm = inputs.mask.shape
+        floor = a if a >= 1.0 else a * float(Hm * Wm)  # (0,1) = image frac
+        obj_unobs = (tracker.obj_ids > 0) & (
+            tracker.obj_det_area < floor
+        )
+        d_emit = tracker.d_valid & ~jnp.any(
+            tracker.d_oid[:, None]
+            == jnp.where(obj_unobs, tracker.obj_ids, -2)[None, :],
+            axis=1,
+        )
+        obj_emit = ~obj_unobs
+    else:
+        d_emit = tracker.d_valid
+        obj_emit = jnp.ones_like(tracker.obj_ids, dtype=bool)
     packet = VisionPacket(
         frame_id=inputs.frame_id,
         X_world_cam=X_k,
@@ -427,14 +451,15 @@ def frontend_step(
             tracklet_id=tracker.d_tid,
             object_id=tracker.d_oid,
             age=tracker.d_age,
-            valid=tracker.d_valid,
+            valid=d_emit,
         ),
         object_ids=tracker.obj_ids,
         object_motions=obj_motions,
         object_valid=obj_res.valid
         & (tracker.obj_ids > 0)
         & (obj_match_count >= params.min_object_points)
-        & ~obj_stationary,
+        & ~obj_stationary
+        & obj_emit,
         object_resampled=tracker.obj_resampled,
         pose_valid=cam_res.valid | first,
     )

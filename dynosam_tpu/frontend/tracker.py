@@ -54,6 +54,9 @@ class TrackerState:
     # backend as VisionPacket.object_resampled -> hybrid epoch re-anchor.
     obj_resampled: jnp.ndarray  # (J,) bool
     obj_mask_iou: jnp.ndarray   # (J,) float — last tracked-vs-detection IoU
+    # detection-mask support per slot (px^2, candidate-cell resolution) —
+    # the observability signal behind TrackerParams.min_observable_mask_area
+    obj_det_area: jnp.ndarray   # (J,) float
     next_tid: jnp.ndarray    # () int32 tracklet id counter
     # object-level tracker for untracked instance masks
     # (prefer_provided_object_detection = False)
@@ -79,6 +82,7 @@ def empty_tracker_state(params: FrontendParams, dtype=jnp.float32) -> TrackerSta
         obj_ids=jnp.full((j,), -1, jnp.int32),
         obj_resampled=jnp.zeros((j,), bool),
         obj_mask_iou=jnp.ones((j,), dtype),
+        obj_det_area=jnp.full((j,), 1e9, dtype),
         next_tid=jnp.array(0, jnp.int32),
         bt_state=bt.empty_state(capacity=2 * j),
     )
@@ -539,6 +543,16 @@ def track_frame(
         1.0,
     ).astype(dtype)
 
+    # detection-mask support per slot (px^2 at candidate-cell resolution),
+    # computed directly on the NEW slot table so freshly allocated slots
+    # (first sighting / re-entry) are covered too — an object must clear
+    # the observability floor before it can ANCHOR, not only to persist.
+    det_sel_new = dcand_label[None, :] == obj_ids[:, None]      # (J, C)
+    obj_det_area = (
+        jnp.sum(det_sel_new, axis=1).astype(dtype) * float(dcell * dcell)
+    )
+    obj_det_area = jnp.where(obj_ids > 0, obj_det_area, 0.0)
+
     return state.replace(
         s_uv=s_uv,
         s_depth=s_depth,
@@ -554,6 +568,7 @@ def track_frame(
         obj_ids=obj_ids,
         obj_resampled=obj_resampled,
         obj_mask_iou=obj_mask_iou,
+        obj_det_area=obj_det_area,
         next_tid=next_tid,
         bt_state=bt_state,
     )

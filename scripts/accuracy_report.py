@@ -87,7 +87,8 @@ def run_config(dense, formulation: int, mode: int, num_frames: int):
     )
 
 
-def run_config_dataset(ds, formulation: int, mode: int, num_frames: int):
+def run_config_dataset(ds, formulation: int, mode: int, num_frames: int,
+                       min_observable_mask_area: float = 0.0):
     """One config cell on an on-disk dataset (through the logger ->
     DatasetEvaluator path, i.e. the same contract as run_dynosam.py)."""
     import json
@@ -113,6 +114,7 @@ def run_config_dataset(ds, formulation: int, mode: int, num_frames: int):
                 max_dynamic_features_per_frame=768,
                 detection_cell_size=8,
                 min_corner_response=1e-6,
+                min_observable_mask_area=min_observable_mask_area,
             ),
         ),
         backend=BackendParams(

@@ -62,7 +62,7 @@ def _device_peak():
     return kind, None
 
 
-def time_fused(cfg, intr, frames, warmup=5, measure=30):
+def time_fused(cfg, intr, frames, warmup=10, measure=120):
     """(fps, flops/frame) for the fused step under cfg."""
     import jax
 
@@ -145,11 +145,11 @@ def row_detector_on():
 
     state, out = one(0, state)
     jax.block_until_ready(out)
-    for i in range(1, 5):
+    for i in range(1, 10):
         state, out = one(i, state)
     jax.block_until_ready(out)
     t0 = time.time()
-    measure = 30
+    measure = 120
     for i in range(measure):
         state, out = one(5 + i, state)
     jax.block_until_ready(out)

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--no-reanchor", action="store_true")
     ap.add_argument("--min-epoch-len", type=int, default=3)
     ap.add_argument("--mode", type=int, default=1)
+    ap.add_argument(
+        "--min-area", type=float, default=0.0,
+        help="TrackerParams.min_observable_mask_area ((0,1) = image frac)",
+    )
     args = ap.parse_args()
 
     from accuracy_rich import ensure_fixture
@@ -60,6 +64,7 @@ def main():
                 max_dynamic_features_per_frame=768,
                 detection_cell_size=8,
                 min_corner_response=1e-6,
+                min_observable_mask_area=args.min_area,
             ),
         ),
         backend=C.BackendParams(
@@ -83,11 +88,12 @@ def main():
             oid = np.asarray(trk.obj_ids)
             iou = np.asarray(trk.obj_mask_iou)
             res = np.asarray(trk.obj_resampled)
+            da = np.asarray(trk.obj_det_area)
             nt = np.asarray(
                 (np.asarray(trk.d_oid)[None, :] == oid[:, None])
                 & np.asarray(trk.d_valid)[None, :]
             ).sum(axis=1)
-            diag.append((oid, iou, res, nt))
+            diag.append((oid, iou, res, nt, da))
         pipe.finish()
         print(f"run: {time.time()-t0:.0f}s", flush=True)
         rep = json.load(open(DatasetEvaluator(out_dir).write_report()))
@@ -113,7 +119,7 @@ def main():
                 if f in shown or f >= len(diag):
                     continue
                 shown.add(f)
-                od, io, rs, nt = diag[f]
+                od, io, rs, nt, da = diag[f]
                 j = np.nonzero(od == int(oid))[0]
                 j = int(j[0]) if len(j) else -1
                 e = trace.get(f, float("nan"))
@@ -121,7 +127,7 @@ def main():
                     f"  f={f:3d} ame={e*100:9.3f} cm  "
                     + (
                         f"iou={io[j]:.3f} resampled={bool(rs[j])} "
-                        f"tracks={nt[j]}"
+                        f"tracks={nt[j]} det_area={da[j]:.0f}"
                         if j >= 0
                         else "(object not in tracker slots)"
                     )
