@@ -169,7 +169,12 @@ class YoloV8DetectorEngine:
                 class_ids=tuple(class_ids) if class_ids is not None else None,
             )
             masks = pp.combine_masks(
-                det, single["proto"], (H, W), use_pallas=use_pallas_masks,
+                det, single["proto"], (H, W),
+                # the Pallas kernel only lowers on TPU; CPU runs (accuracy
+                # harnesses, virtual-mesh tests) take the XLA path, which
+                # is bit-compatible (pinned by tests/test_pallas.py)
+                use_pallas=use_pallas_masks
+                and jax.default_backend() == "tpu",
                 mask_threshold=mask_threshold, box_pad=box_pad,
             )
             label = pp.masks_to_label_image(masks, det.scores)
